@@ -1,0 +1,160 @@
+"""Bundle-adjustment factors: residuals and Jacobians.
+
+The factor set mirrors the reference optimizer (corelib/src/Optimizer/
+Optimizer.cpp:58-596):
+
+  * stereo reprojection factor  — obs (uL, vL, uR = uL - bf/z), residual
+    ``obs - project(Tcw * Pw)`` (g2o EdgeStereo, OptimizeTypeDefine.h:111-191;
+    ceres StereoObservationFactor.cpp:12-78).  RGBD depth is folded into the
+    same factor through a virtual disparity, exactly like the reference
+    (Optimizer.cpp:184-196).
+  * relative pose (wheel-odometry) factor — residual
+    ``[q1*(q2^-1*(-t2)) + t1 - t12 ; 2*vec(q12^-1 * q1 * q2^-1)]``
+    (EdgePoseConstraint, OptimizeTypeDefine.cpp:35-50).
+  * Huber robust weighting (g2o RobustKernelHuber semantics).
+
+Pose parameterization: ``(q, t)`` is the *inverse* camera pose Tcw
+(world->camera), updated on the 6-dim tangent as ``t += dt; q = deltaQ(dw)*q``
+(OptimizeTypeDefine.cpp:7-14).  All Jacobians here are *exactly* consistent
+with that update rule (the reference's hand-derived stereo pose Jacobian uses
+skew(pc) where the exact linearization of its own update rule is
+skew(pc - t) = skew(R*Pw); we use the exact form, verified against
+``jax.jacfwd`` in tests/test_factors.py).
+
+Everything is written for a single factor and batched with vmap by the
+solver; shapes stay static so the whole GN/LM iteration jits into one XLA
+computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.lie import (
+    delta_q,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    skew,
+)
+
+
+class StereoIntrinsics(NamedTuple):
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    bf: jnp.ndarray  # baseline * fx
+
+
+def apply_tangent(q, t, delta):
+    """Tangent-space pose update: t += dt, q = deltaQ(dw) * q."""
+    return quat_normalize(quat_mul(delta_q(delta[3:6]), q)), t + delta[0:3]
+
+
+# ---------------------------------------------------------------------------
+# Stereo reprojection factor
+# ---------------------------------------------------------------------------
+
+def project_stereo_point(pc, intr: StereoIntrinsics):
+    """Camera-frame point -> (uL, vL, uR) (OptimizeTypeDefine.h:180-187)."""
+    inv_z = 1.0 / pc[2]
+    u = pc[0] * inv_z * intr.fx + intr.cx
+    v = pc[1] * inv_z * intr.fy + intr.cy
+    return jnp.stack([u, v, u - intr.bf * inv_z])
+
+
+def stereo_residual(pose_q, pose_t, pw, obs, intr: StereoIntrinsics):
+    """obs - project(Tcw * Pw); [3]."""
+    pc = quat_rotate(pose_q, pw) + pose_t
+    return obs - project_stereo_point(pc, intr)
+
+
+def stereo_jacobians(pose_q, pose_t, pw, intr: StereoIntrinsics):
+    """Analytic Jacobians of the stereo residual.
+
+    Returns (J_pose [3,6] wrt (dt, dw), J_point [3,3] wrt Pw).
+
+    d(residual)/d(pc) = -dproj/dpc with
+      dproj/dpc = [[fx/z, 0, -fx*x/z^2],
+                   [0, fy/z, -fy*y/z^2],
+                   [fx/z, 0, -fx*x/z^2 + bf/z^2]]
+    dpc/d(dt) = I;  dpc/d(dw) = -skew(R*Pw)  (exact for the left-quaternion
+    update with separate translation);  dpc/dPw = R.
+    """
+    R = quat_to_mat(pose_q)
+    rp = R @ pw  # R * Pw = pc - t
+    pc = rp + pose_t
+    x, y, z = pc[0], pc[1], pc[2]
+    inv_z = 1.0 / z
+    inv_z2 = inv_z * inv_z
+    dproj = jnp.stack(
+        [
+            jnp.stack([intr.fx * inv_z, jnp.zeros_like(z), -intr.fx * x * inv_z2]),
+            jnp.stack([jnp.zeros_like(z), intr.fy * inv_z, -intr.fy * y * inv_z2]),
+            jnp.stack(
+                [
+                    intr.fx * inv_z,
+                    jnp.zeros_like(z),
+                    -intr.fx * x * inv_z2 + intr.bf * inv_z2,
+                ]
+            ),
+        ]
+    )
+    J_point = -dproj @ R
+    J_pose = jnp.concatenate([-dproj, dproj @ skew(rp)], axis=1)
+    return J_pose, J_point
+
+
+# ---------------------------------------------------------------------------
+# Relative-pose (wheel odometry) factor
+# ---------------------------------------------------------------------------
+
+def pose_link_residual(q1, t1, q2, t2, meas_q, meas_t):
+    """EdgePoseConstraint residual (OptimizeTypeDefine.cpp:35-50); [6].
+
+    (q1,t1), (q2,t2) are Tc1w, Tc2w; (meas_q, meas_t) is the measured
+    relative transform Tc1c2.
+    """
+    e_t = quat_rotate(q1, quat_rotate(quat_conj(q2), -t2)) + t1 - meas_t
+    e_q = 2.0 * quat_mul(quat_mul(quat_conj(meas_q), q1), quat_conj(q2))[1:4]
+    return jnp.concatenate([e_t, e_q])
+
+
+def pose_link_jacobians(q1, t1, q2, t2, meas_q, meas_t):
+    """Jacobians of the link residual wrt the two pose tangents; ([6,6],[6,6]).
+
+    Computed by forward-mode autodiff at the zero tangent — exact, and only
+    evaluated for the handful of window links per problem, so closed forms
+    buy nothing on TPU here (the hot stereo factor has analytic forms).
+    """
+
+    def res_of_deltas(d1, d2):
+        nq1, nt1 = apply_tangent(q1, t1, d1)
+        nq2, nt2 = apply_tangent(q2, t2, d2)
+        return pose_link_residual(nq1, nt1, nq2, nt2, meas_q, meas_t)
+
+    zero = jnp.zeros(6, dtype=t1.dtype)
+    J1, J2 = jax.jacfwd(res_of_deltas, argnums=(0, 1))(zero, zero)
+    return J1, J2
+
+
+# ---------------------------------------------------------------------------
+# Robust kernel
+# ---------------------------------------------------------------------------
+
+def huber_weight(chi2, delta):
+    """Gauss-Newton IRLS weight for g2o's RobustKernelHuber.
+
+    chi2 is the squared error e^T Omega e; the GN reweighting that reproduces
+    the robustified normal equations is rho'(chi2) = min(1, delta/sqrt(chi2)).
+    delta <= 0 disables the kernel (Optimizer.cpp:robustKernelDelta_ > 0 gate).
+    """
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w = jnp.where(chi2 > delta * delta, delta / e, 1.0)
+    return jnp.where(delta > 0.0, w, jnp.ones_like(w))
