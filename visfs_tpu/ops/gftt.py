@@ -1,0 +1,152 @@
+"""Good-features-to-track corner detection, batched for TPU.
+
+Replaces cv::goodFeaturesToTrack + the hand-drawn circle mask
+(corelib/src/Tracker.cpp:116-141 getMask, :181/:327 detection calls):
+
+  * Shi-Tomasi min-eigenvalue score from Sobel gradients and a 3x3 block sum
+    (cv::cornerMinEigenVal with blockSize=3);
+  * 3x3 local-maximum non-max suppression;
+  * quality gate: score >= qualityLevel * max(score);
+  * min-distance enforcement, re-imagined for fixed shapes: one winner per
+    (minDistance x minDistance) grid cell, then suppression against
+    already-tracked features (radius minDistance, track-count priority is
+    inherent — existing tracks always win) and blocked features (radius
+    minDistance/2, Tracker.cpp:137-139);
+  * top-K selection by score.
+
+The grid-cell pass guarantees >= minDistance/2 spacing among new corners and
+caps the candidate set at a static count, which is what makes the whole
+detector one fused XLA computation with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import box_filter, sobel_gradients
+
+
+class GFTTResult(NamedTuple):
+    points: jnp.ndarray  # [K, 2] (x, y), score-sorted descending
+    scores: jnp.ndarray  # [K]
+    valid: jnp.ndarray  # [K] bool
+
+
+def min_eig_score(img):
+    """Shi-Tomasi response map (cv::cornerMinEigenVal, blockSize=3)."""
+    ix, iy = sobel_gradients(img)
+    # OpenCV scales Sobel by 1/4 for blockSize-normalized scores; constant
+    # scaling does not affect ranking or the relative quality gate.
+    ixx = box_filter(ix * ix, 3)
+    iyy = box_filter(iy * iy, 3)
+    ixy = box_filter(ix * iy, 3)
+    half_tr = 0.5 * (ixx + iyy)
+    half_diff = 0.5 * (ixx - iyy)
+    return half_tr - jnp.sqrt(half_diff * half_diff + ixy * ixy)
+
+
+@partial(jax.jit, static_argnames=("max_corners", "min_distance", "border"))
+def gftt_detect(
+    img,
+    max_corners: int,
+    quality_level: float,
+    min_distance: int,
+    existing_pts=None,
+    existing_mask=None,
+    blocked_pts=None,
+    blocked_mask=None,
+    border: int = 12,
+):
+    """Detect up to max_corners new corners.
+
+    existing_pts/existing_mask: [M,2]/[M] currently tracked features — new
+    corners must stay min_distance away from them.
+    blocked_pts/blocked_mask: [B,2]/[B] estimator-blocked outlier features —
+    new corners must stay min_distance/2 away (Tracker.cpp:137-139).
+    """
+    h, w = img.shape
+    score = min_eig_score(img)
+
+    # Kill the border (OpenCV ignores a 1px border; we also keep the LK
+    # window fully inside the image).
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score = jnp.where(inside, score, 0.0)
+
+    # 3x3 non-max suppression.
+    neigh = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    is_peak = score >= neigh
+    score = jnp.where(is_peak, score, 0.0)
+
+    # Quality gate relative to the global best.
+    thresh = quality_level * jnp.max(score)
+    score = jnp.where(score >= thresh, score, 0.0)
+
+    # One winner per grid cell of size min_distance.
+    cell = max(int(min_distance), 1)
+    gh = h // cell
+    gw = w // cell
+    cropped = score[: gh * cell, : gw * cell]
+    cells = cropped.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(gh * gw, cell * cell)
+    best = jnp.argmax(cells, axis=1)
+    best_score = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+    cy = best // cell + (jnp.arange(gh * gw) // gw) * cell
+    cx = best % cell + (jnp.arange(gh * gw) % gw) * cell
+    cand = jnp.stack([cx, cy], axis=-1).astype(img.dtype)
+    cand_valid = best_score > 0.0
+
+    # Pairwise min-distance among candidates: a candidate is suppressed when
+    # a strictly better-scored candidate sits within min_distance.  One-shot
+    # (non-greedy) — slightly conservative vs OpenCV's sequential greedy
+    # suppression, but fully parallel.
+    d2 = jnp.sum((cand[:, None, :] - cand[None, :, :]) ** 2, axis=-1)
+    better = (best_score[None, :] > best_score[:, None]) | (
+        (best_score[None, :] == best_score[:, None])
+        & (jnp.arange(d2.shape[0])[None, :] < jnp.arange(d2.shape[0])[:, None])
+    )
+    dominated = jnp.any(
+        (d2 < float(min_distance) ** 2) & better & cand_valid[None, :], axis=1
+    )
+    cand_valid = cand_valid & ~dominated
+
+    # Suppress candidates near existing / blocked features.
+    def suppress(cand, cand_valid, pts, mask, radius):
+        if pts is None:
+            return cand_valid
+        d2 = jnp.sum(
+            (cand[:, None, :] - pts[None, :, :]) ** 2, axis=-1
+        )  # [C, M]
+        m = mask if mask is not None else jnp.ones(pts.shape[0], dtype=bool)
+        near = jnp.any((d2 < radius * radius) & m[None, :], axis=1)
+        return cand_valid & ~near
+
+    cand_valid = suppress(cand, cand_valid, existing_pts, existing_mask,
+                          float(min_distance))
+    cand_valid = suppress(cand, cand_valid, blocked_pts, blocked_mask,
+                          float(min_distance) / 2.0)
+
+    # Top-K by score.
+    ranked = jnp.where(cand_valid, best_score, -jnp.inf)
+    k = min(max_corners, ranked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    top_pts = cand[top_idx]
+    top_valid = jnp.isfinite(top_scores) & (top_scores > 0.0)
+
+    if k < max_corners:
+        pad = max_corners - k
+        top_pts = jnp.concatenate(
+            [top_pts, jnp.zeros((pad, 2), dtype=top_pts.dtype)]
+        )
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((pad,), -jnp.inf, dtype=top_scores.dtype)]
+        )
+        top_valid = jnp.concatenate([top_valid, jnp.zeros(pad, dtype=bool)])
+    return GFTTResult(points=top_pts, scores=top_scores, valid=top_valid)

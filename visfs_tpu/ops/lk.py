@@ -1,0 +1,178 @@
+"""Batched pyramidal Lucas-Kanade optical flow.
+
+TPU-native replacement for the reference's four cv::calcOpticalFlowPyrLK
+call sites (corelib/src/Tracker.cpp:207,257,263,354,360): temporal forward
+flow with projected initial guess, reverse-flow consistency, and left<->right
+stereo matching all share this one batched kernel family.
+
+Semantics follow OpenCV's implementation:
+  * image pyramids with 5x5 binomial downsampling;
+  * per level, the spatial gradient matrix G is computed once from the
+    `from` patch; the iterative update samples only the `to` patch;
+  * termination: max iterations OR per-feature step below eps
+    (Tracker params FlowIterations=30, FlowEps=0.01, FlowWinSize=21,
+    FlowMaxLevel=3 — Parameters.h:154-157);
+  * OPTFLOW_LK_GET_MIN_EIGENVALS + minEigThreshold=1e-4: features whose
+    min eigenvalue of G / window-area falls below threshold are failed.
+
+All features are tracked in parallel (vmap over the feature axis); the
+iteration loop is a lax.while_loop on the still-active set so typical
+sequences stop after a handful of iterations instead of the worst case 30.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import build_pyramid, extract_patch_bilinear, scharr_gradients
+
+
+class LKParams(NamedTuple):
+    win_size: int = 21
+    max_level: int = 3
+    iterations: int = 30
+    eps: float = 0.01
+    min_eig_threshold: float = 1e-4
+
+
+class LKResult(NamedTuple):
+    points: jnp.ndarray  # [N, 2] tracked positions in `to` image
+    status: jnp.ndarray  # [N] bool
+    err: jnp.ndarray  # [N] min-eigenvalue error measure
+
+
+def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
+                 params: LKParams):
+    """One pyramid level of LK for all features.
+
+    pts_from: [N,2] feature positions at this level's scale.
+    flow: [N,2] current flow estimate at this level's scale.
+    Returns (flow, ok, min_eig).
+    """
+    win = params.win_size
+    area = win * win
+    h, w = img_from.shape
+    fdtype = img_from.dtype
+
+    def per_feature_setup(pt):
+        patch_i = extract_patch_bilinear(img_from, pt, win)
+        gx = extract_patch_bilinear(grad_x, pt, win)
+        gy = extract_patch_bilinear(grad_y, pt, win)
+        g11 = jnp.sum(gx * gx)
+        g12 = jnp.sum(gx * gy)
+        g22 = jnp.sum(gy * gy)
+        return patch_i, gx, gy, jnp.stack([g11, g12, g22])
+
+    patch_i, gx, gy, g = jax.vmap(per_feature_setup)(pts_from)
+    g11, g12, g22 = g[:, 0], g[:, 1], g[:, 2]
+    det = g11 * g22 - g12 * g12
+    trace = g11 + g22
+    min_eig = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))) * 0.5
+    min_eig = min_eig / area
+    ok_g = (min_eig > params.min_eig_threshold) & (det > 1e-12)
+
+    inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+    # inverse of G (2x2), scaled
+    gi11 = g22 * inv_det
+    gi12 = -g12 * inv_det
+    gi22 = g11 * inv_det
+
+    def cond(carry):
+        _, active_now, it = carry
+        return (it < params.iterations) & jnp.any(active_now)
+
+    def body(carry):
+        flow, active_now, it = carry
+
+        def residual(pt_to, p_i):
+            patch_j = extract_patch_bilinear(img_to, pt_to, win)
+            diff = p_i - patch_j
+            return diff
+
+        pts_to = pts_from + flow
+        diff = jax.vmap(residual)(pts_to, patch_i)
+        b1 = jnp.sum(diff * gx, axis=(1, 2))
+        b2 = jnp.sum(diff * gy, axis=(1, 2))
+        dx = gi11 * b1 + gi12 * b2
+        dy = gi12 * b1 + gi22 * b2
+        step = jnp.stack([dx, dy], axis=-1)
+        upd = jnp.where(active_now[:, None], step, 0.0)
+        new_flow = flow + upd
+        step_sq = jnp.sum(step * step, axis=-1)
+        still = active_now & (step_sq >= params.eps * params.eps)
+        return new_flow, still, it + 1
+
+    flow, _, _ = jax.lax.while_loop(
+        cond, body, (flow, active & ok_g, jnp.zeros((), jnp.int32))
+    )
+    return flow, ok_g, min_eig
+
+
+@partial(jax.jit, static_argnames=("params",))
+def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
+             params: LKParams = LKParams()):
+    """Track pts_from (in img_from) into img_to.
+
+    pts_init: [N,2] initial guesses in img_to (projected prediction, or just
+    pts_from) — the OPTFLOW_USE_INITIAL_FLOW path (Tracker.cpp:251-258).
+    valid_mask: [N] features to track.
+
+    Returns LKResult(points, status, err).
+    """
+    pyr_from = build_pyramid(img_from, params.max_level)
+    pyr_to = build_pyramid(img_to, params.max_level)
+    h, w = img_from.shape
+    half = params.win_size // 2
+    # Pad every level by the window radius so windows never clip the border
+    # (clamped extraction would silently shift patch content and diverge the
+    # iteration — OpenCV handles this with partial-window masking instead).
+    pad = half + 2
+
+    scale_top = 2.0 ** params.max_level
+    flow = (pts_init - pts_from) / scale_top
+    ok = valid_mask
+
+    min_eig = jnp.zeros(pts_from.shape[0], dtype=img_from.dtype)
+    for level in range(params.max_level, -1, -1):
+        scale = 2.0 ** level
+        pts_l = pts_from / scale + pad
+        img_f = jnp.pad(pyr_from[level], pad, mode="edge")
+        img_t = jnp.pad(pyr_to[level], pad, mode="edge")
+        gx, gy = scharr_gradients(img_f)
+        flow, ok_g, min_eig = _track_level(
+            img_f, img_t, gx, gy, pts_l, flow, ok, params
+        )
+        ok = ok & ok_g
+        if level > 0:
+            flow = flow * 2.0
+
+    pts_to = pts_from + flow
+    inb = (
+        (pts_to[:, 0] >= half)
+        & (pts_to[:, 0] < w - half)
+        & (pts_to[:, 1] >= half)
+        & (pts_to[:, 1] < h - half)
+    )
+    status = ok & inb & valid_mask
+    return LKResult(points=pts_to, status=status, err=min_eig)
+
+
+@partial(jax.jit, static_argnames=("params", "fb_threshold"))
+def lk_track_bidirectional(img_from, img_to, pts_from, pts_init, valid_mask,
+                           params: LKParams = LKParams(),
+                           fb_threshold: float = 1.5):
+    """Forward LK + reverse-flow consistency gate (Tracker.cpp:260-274).
+
+    The reverse pass is seeded with the original positions
+    (OPTFLOW_USE_INITIAL_FLOW with cornersReverse = cornersFrom) and a track
+    survives only if |reverse(forward(p)) - p| <= fb_threshold.
+    """
+    fwd = lk_track(img_from, img_to, pts_from, pts_init, valid_mask, params)
+    rev = lk_track(img_to, img_from, fwd.points, pts_from, fwd.status, params)
+    dist = jnp.linalg.norm(rev.points - pts_from, axis=-1)
+    status = fwd.status & rev.status & (dist <= fb_threshold)
+    return LKResult(points=fwd.points, status=status, err=fwd.err)
