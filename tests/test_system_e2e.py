@@ -1,0 +1,146 @@
+"""End-to-end odometry tests: full System on simulated stereo sequences.
+
+This is the acceptance layer the reference lacks entirely (its integration
+testing is manual ROS bags — SURVEY.md §4): ATE-checked trajectories per
+BASELINE.json config.
+"""
+
+import numpy as np
+import pytest
+
+from visfs_tpu.io.sim import ate_rmse, generate_sequence
+from visfs_tpu.slam.system import System
+
+PARAMS = {
+    "Tracker/MaxFeatures": 150,
+    "Tracker/MinDistance": 16,
+    "Optimizer/Iterations": 10,
+}
+
+
+def build_system(extra=None, seq=None):
+    p = dict(PARAMS)
+    if extra:
+        p.update(extra)
+    sys_ = System(p)
+    cam = seq.camera
+    sys_.init(
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        float(cam.baseline), width=cam.width, height=cam.height,
+    )
+    return sys_
+
+
+def run_vo(seq, extra=None, with_odom=False):
+    sys_ = build_system(extra, seq)
+    outs = sys_.run_sequence(
+        seq.stamps, seq.left, seq.right,
+        wheel_odom=seq.wheel_odom if with_odom else None,
+    )
+    est = np.stack([np.asarray(o.pose) for o in outs])
+    return outs, est
+
+
+class TestStereoVO:
+    """BASELINE config 1: stereo visual odometry (SensorStrategy=0)."""
+
+    def test_forward_motion(self):
+        seq = generate_sequence(n_frames=12, n_points=400, seed=1,
+                                motion="forward")
+        outs, est = run_vo(seq)
+        assert not any(bool(o.lost) for o in outs[1:])
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.01, ate
+
+    def test_arc_motion(self):
+        seq = generate_sequence(n_frames=15, n_points=500, seed=2,
+                                motion="arc")
+        outs, est = run_vo(seq)
+        assert not any(bool(o.lost) for o in outs[1:])
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.015, ate
+
+    def test_yaw_rotation(self):
+        seq = generate_sequence(n_frames=12, n_points=600, seed=3,
+                                motion="yaw")
+        outs, est = run_vo(seq)
+        assert not any(bool(o.lost) for o in outs[1:])
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.02, ate
+
+    def test_first_frame_bootstrap(self):
+        seq = generate_sequence(n_frames=3, n_points=300, seed=4)
+        outs, _ = run_vo(seq)
+        # frame 0 is 'lost' (no delta yet) but must detect features
+        assert bool(outs[0].lost)
+        assert int(outs[0].n_features) > 20
+        assert not bool(outs[1].lost)
+
+    def test_keyframe_and_window_bookkeeping(self):
+        seq = generate_sequence(n_frames=10, n_points=400, seed=5)
+        sys_ = build_system(None, seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        st = sys_.state
+        window = np.asarray(st.window.valid)
+        assert window.sum() >= 2
+        # feature table consistency: every observed slot belongs to a valid
+        # feature; ids are unique among valid slots
+        valid = np.asarray(st.features.valid)
+        obs = np.asarray(st.features.obs_mask)
+        assert not obs[~valid].any()
+        fids = np.asarray(st.features.fid)[valid]
+        assert len(np.unique(fids)) == len(fids)
+
+    def test_blackout_recovery(self):
+        """Blank frames in the middle -> lost, then recover."""
+        seq = generate_sequence(n_frames=12, n_points=400, seed=6,
+                                motion="forward")
+        left = np.array(seq.left)
+        right = np.array(seq.right)
+        left[5:7] = 0.0
+        right[5:7] = 0.0
+        sys_ = build_system(None, seq)
+        outs = sys_.run_sequence(seq.stamps, left, right)
+        assert bool(outs[5].lost) or bool(outs[6].lost)
+        # recovers within a couple of frames after texture returns
+        assert not bool(outs[-1].lost)
+        # pose remains finite throughout
+        for o in outs:
+            assert np.isfinite(np.asarray(o.pose)).all()
+
+
+class TestStereoWheelFusion:
+    """BASELINE config 3: stereo + wheel odometry (SensorStrategy=2)."""
+
+    def test_fusion_tracks_trajectory(self):
+        seq = generate_sequence(n_frames=12, n_points=400, seed=7,
+                                motion="arc")
+        outs, est = run_vo(seq, extra={"System/SensorStrategy": 2},
+                           with_odom=True)
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.02, ate
+
+    def test_wheel_override_on_bad_visuals(self):
+        """Blank out images: wheel odometry must carry the trajectory."""
+        seq = generate_sequence(n_frames=10, n_points=400, seed=8,
+                                motion="forward")
+        left = np.array(seq.left)
+        right = np.array(seq.right)
+        left[4:8] = 0.0
+        right[4:8] = 0.0
+        sys_ = build_system({"System/SensorStrategy": 2}, seq)
+        outs = sys_.run_sequence(seq.stamps, left, right,
+                                 wheel_odom=seq.wheel_odom)
+        est = np.stack([np.asarray(o.pose) for o in outs])
+        ate = ate_rmse(est, seq.poses)
+        # wheel odometry in the sim is noise-free -> trajectory survives
+        assert ate < 0.05, ate
+
+
+class TestForce3DoF:
+    def test_planar_output(self):
+        seq = generate_sequence(n_frames=8, n_points=400, seed=9,
+                                motion="arc")
+        outs, est = run_vo(seq, extra={"Estimator/Force3DoF": True})
+        # z, roll, pitch forced to zero
+        assert np.abs(est[:, 2, 3]).max() < 1e-6

@@ -143,13 +143,17 @@ def init_feature_table(capacity: int, window: int) -> FeatureTable:
 
 
 def init_window(window: int) -> WindowState:
-    qid = jnp.zeros((window, 4), F32).at[:, 0].set(1.0)
+    # Note: every field gets its own freshly-created buffer — shared buffers
+    # would break jit argument donation (same buffer donated twice).
+    def qid():
+        return jnp.zeros((window, 4), F32).at[:, 0].set(1.0)
+
     return WindowState(
         frame_id=jnp.full((window,), -1, I32),
         valid=jnp.zeros((window,), bool),
-        pose_q=qid,
+        pose_q=qid(),
         pose_t=jnp.zeros((window, 3), F32),
-        wheel_q=qid,
+        wheel_q=qid(),
         wheel_t=jnp.zeros((window, 3), F32),
         wheel_valid=jnp.zeros((window,), bool),
         stamp=jnp.zeros((window,), F32),

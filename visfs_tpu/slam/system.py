@@ -1,0 +1,293 @@
+"""System: the top-level engine — one jitted step per frame.
+
+The reference System (corelib/src/System.cpp) spawns Tracker/Estimator/
+Monitor threads connected by mutex-guarded queues polled at 5 ms.  Here the
+entire per-frame pipeline — CLAHE, extrapolation, LK tracking, re-detection,
+stereo triangulation, PnP, window insertion, Schur BA, fusion overrides,
+marginalization, outlier feedback — is a single jitted
+``step(state, left, right, stamp) -> (state, FrameOutput)``: latency hiding
+comes from XLA async dispatch (the host can feed frame N+1 while the device
+runs frame N) rather than thread pipelining.
+
+Host API mirrors the reference surface (System.h:30-53):
+  * ``init(...)``                    — camera intrinsics/extrinsics;
+  * ``input_primary_sensor_data``    — stereo pair (+ stamp);
+  * ``input_wheel_odometry``         — odometry samples at ~100 Hz;
+  * ``output_odometry_info``         — pose + TrackInfo/EstimateInfo.
+"""
+
+from __future__ import annotations
+
+import collections
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VISFSConfig, config_from_parameters
+from ..core.camera import StereoCamera, make_stereo_camera
+from ..core.lie import mat_to_xyzrpy, se3_matrix
+from ..ops.lk import LKParams
+from ..ops.pnp import PnPSettings
+from ..solver.ba import BASettings
+from . import extrapolator as extr
+from .estimator import EstimatorSettings, estimator_step, marginalize
+from .state import FrameOutput, VOState, init_state
+from .tracker import tracker_step
+
+
+def _build_settings(cfg: VISFSConfig) -> EstimatorSettings:
+    return EstimatorSettings(
+        sensor_strategy=cfg.system_sensor_strategy,
+        min_inliers=cfg.estimator_min_inliers,
+        pnp=PnPSettings(
+            iterations=cfg.estimator_pnp_iterations,
+            reproj_error=cfg.estimator_pnp_reproj_error,
+            min_inliers=cfg.estimator_min_inliers,
+            refine_iterations=cfg.estimator_refine_iterations,
+        ),
+        ba=BASettings(
+            iterations=cfg.optimizer_iterations,
+            pixel_variance=cfg.optimizer_pixel_variance,
+            odometry_covariance=cfg.optimizer_odometry_covariance,
+            robust_delta=cfg.optimizer_robust_kernel_delta,
+            use_levenberg=(cfg.optimizer_trust_region == 0),
+        ),
+        tolerance_translation=cfg.estimator_tolerance_translation,
+        force_3dof=cfg.estimator_force_3dof,
+        map_size=cfg.local_map_map_size,
+        max_features=cfg.tracker_max_features,
+        min_parallax=cfg.local_map_min_parallax,
+        min_translation=cfg.local_map_min_translation,
+    )
+
+
+def vo_step_impl(
+    state: VOState,
+    left,
+    right,
+    stamp,
+    cam: StereoCamera,
+    cfg_est: EstimatorSettings,
+    lk_params: LKParams,
+    cfg_hash: tuple,  # static extras: (max_features, quality, min_dist,
+    # flow_back, min_depth, max_depth, clahe, wheel_freq)
+):
+    (max_features, quality_level, min_distance, flow_back, min_depth,
+     max_depth, use_clahe, wheel_freq) = cfg_hash
+
+    if use_clahe:
+        from ..ops.image import clahe
+
+        left = clahe(left)
+        right = clahe(right)
+
+    # Slide the window (previous frame's keyframe decision).
+    features, window = marginalize(state.features, state.window, state.keyframe)
+
+    # Motion prior.
+    guess, wheel_pose, wheel_ok, prev_w6, prev_w_valid = extr.extrapolate_pose(
+        state.odom, stamp, state.prev_stamp,
+        state.velocity, state.velocity_valid,
+        jnp.concatenate(
+            [state.prev_wheel_t,
+             jnp.stack(mat_to_xyzrpy(se3_matrix(state.prev_wheel_q,
+                                                state.prev_wheel_t))[3:])]
+        ),
+        state.prev_wheel_valid,
+        cfg_est.sensor_strategy,
+        wheel_freq,
+    )
+
+    trk = tracker_step(
+        features, state.prev_left, state.prev_right, left, right,
+        state.has_prev, guess, state.blocked_uv, state.blocked_valid,
+        state.next_fid, state.frame_count, cam,
+        max_features=max_features, quality_level=quality_level,
+        min_distance=min_distance, min_inliers=cfg_est.min_inliers,
+        flow_back=flow_back, min_depth=min_depth, max_depth=max_depth,
+        lk_params=lk_params,
+    )
+
+    key, subkey = jax.random.split(state.rng_key)
+    est = estimator_step(
+        state._replace(window=window), trk, stamp, wheel_pose, wheel_ok,
+        guess, cam, cfg_est, subkey,
+    )
+
+    from ..core.lie import mat_to_quat
+
+    wheel_q_new = mat_to_quat(wheel_pose[:3, :3])
+    wheel_t_new = wheel_pose[:3, 3]
+
+    new_state = VOState(
+        features=est.features,
+        window=est.window,
+        counters=est.counters,
+        odom=state.odom,
+        prev_left=left,
+        prev_right=right,
+        has_prev=jnp.ones((), bool),
+        pose_q=est.pose_q,
+        pose_t=est.pose_t,
+        prev_wheel_q=jnp.where(wheel_ok, wheel_q_new, state.prev_wheel_q),
+        prev_wheel_t=jnp.where(wheel_ok, wheel_t_new, state.prev_wheel_t),
+        prev_wheel_valid=wheel_ok | state.prev_wheel_valid,
+        velocity=est.velocity6,
+        velocity_valid=est.velocity_valid,
+        prev_stamp=stamp,
+        next_fid=trk.next_fid,
+        frame_count=state.frame_count + 1,
+        keyframe=est.keyframe,
+        lost=est.lost,
+        blocked_uv=est.blocked_uv,
+        blocked_valid=est.blocked_valid,
+        rng_key=key,
+    )
+
+    out = FrameOutput(
+        pose=se3_matrix(est.pose_q, est.pose_t),
+        transform=est.transform,
+        lost=est.lost,
+        n_features=jnp.sum(est.features.obs_mask[:, -1]),
+        n_matches=est.n_matches,
+        n_inliers=est.n_inliers,
+        n_new=trk.n_new,
+        keyframe=est.keyframe,
+        ba_chi2=est.ba_chi2,
+        ba_ok=est.ba_ok,
+        velocity=est.velocity6,
+        stamp=stamp,
+        covariance=est.covariance,
+    )
+    return new_state, out
+
+
+vo_step = partial(
+    jax.jit,
+    static_argnames=("cfg_est", "lk_params", "cfg_hash"),
+    donate_argnames=("state",),
+)(vo_step_impl)
+
+
+@jax.jit
+def _push_odometry(state: VOState, stamp, pose6, vel6) -> VOState:
+    return state._replace(
+        odom=extr.add_odometry(state.odom, stamp, pose6, vel6)
+    )
+
+
+class System:
+    """Host-side driver owning device state (reference System.h API)."""
+
+    def __init__(self, parameters=None, feature_capacity_factor: int = 2,
+                 seed: int = 0):
+        self.cfg: VISFSConfig = (
+            parameters if isinstance(parameters, VISFSConfig)
+            else config_from_parameters(parameters)
+        )
+        self.settings = _build_settings(self.cfg)
+        self.lk_params = LKParams(
+            win_size=self.cfg.tracker_flow_win_size,
+            max_level=self.cfg.tracker_flow_max_level,
+            iterations=self.cfg.tracker_flow_iterations,
+            eps=self.cfg.tracker_flow_eps,
+        )
+        self._cfg_hash = (
+            self.cfg.tracker_max_features,
+            self.cfg.tracker_quality_level,
+            self.cfg.tracker_min_distance,
+            self.cfg.tracker_flow_back,
+            self.cfg.tracker_min_depth,
+            self.cfg.tracker_max_depth,
+            self.cfg.system_clahe,
+            self.cfg.system_wheel_odometry_freq,
+        )
+        self._capacity_factor = feature_capacity_factor
+        self._seed = seed
+        self.camera: Optional[StereoCamera] = None
+        self.state: Optional[VOState] = None
+        self._results = collections.deque()
+        self._pending = None
+
+    # -- reference System::init (System.cpp:83-99) ------------------------
+    def init(self, fx, fy, cx, cy, baseline, *, width, height,
+             fxr=None, fyr=None, cxr=None, cyr=None,
+             transform_camera_to_robot=None):
+        self.camera = make_stereo_camera(
+            fx, fy, cx, cy, baseline, fxr=fxr, fyr=fyr, cxr=cxr, cyr=cyr,
+            t_camera_to_robot=transform_camera_to_robot,
+            width=width, height=height,
+        )
+        self.state = init_state(
+            height, width,
+            capacity=self._capacity_factor * self.cfg.tracker_max_features,
+            window=self.cfg.local_map_map_size + 1,
+            seed=self._seed,
+        )
+
+    # -- reference System::inputPrimarySensorData -------------------------
+    def input_primary_sensor_data(self, stamp: float, left, right):
+        assert self.state is not None, "call init() first"
+        self._collect_pending()
+        left = jnp.asarray(left, dtype=jnp.float32)
+        right = jnp.asarray(right, dtype=jnp.float32)
+        self.state, out = vo_step(
+            self.state, left, right, jnp.float32(stamp), self.camera,
+            self.settings, self.lk_params, self._cfg_hash,
+        )
+        # Async: don't block on the result; collect on the next call/output.
+        self._pending = out
+
+    # -- reference System::inputWheelOdometry -----------------------------
+    def input_wheel_odometry(self, stamp: float, pose6, velocity6=None):
+        assert self.state is not None, "call init() first"
+        pose6 = jnp.asarray(pose6, dtype=jnp.float32)
+        vel6 = (
+            jnp.asarray(velocity6, dtype=jnp.float32)
+            if velocity6 is not None else jnp.zeros(6, jnp.float32)
+        )
+        self.state = _push_odometry(
+            self.state, jnp.float32(stamp), pose6, vel6
+        )
+
+    def _collect_pending(self):
+        if self._pending is not None:
+            self._results.append(jax.device_get(self._pending))
+            self._pending = None
+
+    # -- reference System::outputOdometryInfo -----------------------------
+    def output_odometry_info(self):
+        """Pop the oldest finished frame result, or None."""
+        self._collect_pending()
+        if self._results:
+            return self._results.popleft()
+        return None
+
+    def run_sequence(self, stamps, lefts, rights, wheel_odom=None):
+        """Convenience batch driver: feed a whole sequence, return outputs.
+
+        wheel_odom: optional [K, 8] rows (stamp, x,y,z,roll,pitch,yaw, valid)
+        interleaved by timestamp like the ROS callbacks would.
+        """
+        outs = []
+        odom_i = 0
+        for i in range(len(stamps)):
+            if wheel_odom is not None:
+                while (odom_i < len(wheel_odom)
+                       and wheel_odom[odom_i][0] <= stamps[i] + 1e-9):
+                    row = wheel_odom[odom_i]
+                    self.input_wheel_odometry(float(row[0]), row[1:7])
+                    odom_i += 1
+            self.input_primary_sensor_data(
+                float(stamps[i]), lefts[i], rights[i]
+            )
+            out = self.output_odometry_info()
+            if out is not None:
+                outs.append(out)
+        self._collect_pending()
+        while self._results:
+            outs.append(self._results.popleft())
+        return outs

@@ -61,9 +61,20 @@ def apply_tangent(q, t, delta):
 # Stereo reprojection factor
 # ---------------------------------------------------------------------------
 
+def _safe_inv_z(z):
+    """1/z with a clamp away from the camera plane.
+
+    Valid observations always have z >> 1e-3; the clamp only protects
+    masked-out table slots (whose weight is zero) from producing inf/NaN
+    that would poison weighted reductions (0 * inf = NaN).
+    """
+    sign = jnp.where(z < 0.0, -1.0, 1.0)
+    return sign / jnp.maximum(jnp.abs(z), 1e-3)
+
+
 def project_stereo_point(pc, intr: StereoIntrinsics):
     """Camera-frame point -> (uL, vL, uR) (OptimizeTypeDefine.h:180-187)."""
-    inv_z = 1.0 / pc[2]
+    inv_z = _safe_inv_z(pc[2])
     u = pc[0] * inv_z * intr.fx + intr.cx
     v = pc[1] * inv_z * intr.fy + intr.cy
     return jnp.stack([u, v, u - intr.bf * inv_z])
@@ -91,7 +102,7 @@ def stereo_jacobians(pose_q, pose_t, pw, intr: StereoIntrinsics):
     rp = R @ pw  # R * Pw = pc - t
     pc = rp + pose_t
     x, y, z = pc[0], pc[1], pc[2]
-    inv_z = 1.0 / z
+    inv_z = _safe_inv_z(z)
     inv_z2 = inv_z * inv_z
     dproj = jnp.stack(
         [
