@@ -1,0 +1,98 @@
+"""Aux subsystems: monitor rendering, checkpoint/resume, logging, timers."""
+
+import numpy as np
+import pytest
+
+from visfs_tpu.io.sim import generate_sequence
+from visfs_tpu.slam.system import System
+from visfs_tpu.slam import monitor
+from visfs_tpu.utils.logging import make_logger
+from visfs_tpu.utils.timer import StageTimer, memory_usage_mb
+
+
+def small_system(seq, extra=None):
+    p = {"Tracker/MaxFeatures": 100, "Tracker/MinDistance": 16}
+    if extra:
+        p.update(extra)
+    sys_ = System(p)
+    cam = seq.camera
+    sys_.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+              float(cam.baseline), width=cam.width, height=cam.height)
+    return sys_
+
+
+class TestMonitor:
+    def test_render_frame(self):
+        seq = generate_sequence(n_frames=3, n_points=300, seed=31)
+        sys_ = small_system(seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        img = monitor.render_frame(sys_.state, seq.left[-1], seq.right[-1])
+        h, w = seq.left[0].shape
+        assert img.shape == (h, 2 * w, 3)
+        assert img.dtype == np.uint8
+        # tracked keypoints drew some red pixels
+        red = (img[:, :w, 0] == 255) & (img[:, :w, 1] == 64)
+        assert red.sum() > 10
+
+    def test_render_submap_none_without_laser(self):
+        seq = generate_sequence(n_frames=2, n_points=200, seed=32)
+        sys_ = small_system(seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        assert monitor.render_submap(sys_.state) is None
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from visfs_tpu.io import checkpoint as ckpt
+
+        seq = generate_sequence(n_frames=5, n_points=300, seed=33)
+        sys_ = small_system(seq)
+        outs1 = sys_.run_sequence(seq.stamps[:3], seq.left[:3], seq.right[:3])
+        ckpt.save_system(tmp_path / "ck", sys_)
+
+        # fresh system restores and continues identically
+        sys2 = small_system(seq)
+        ckpt.restore_system(tmp_path / "ck", sys2)
+        np.testing.assert_array_equal(
+            np.asarray(sys2.state.pose_t), np.asarray(sys_.state.pose_t)
+        )
+
+        out_a = sys_.run_sequence(seq.stamps[3:], seq.left[3:], seq.right[3:])
+        out_b = sys2.run_sequence(seq.stamps[3:], seq.left[3:], seq.right[3:])
+        np.testing.assert_allclose(
+            np.asarray(out_a[-1].pose), np.asarray(out_b[-1].pose), atol=1e-5
+        )
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        from visfs_tpu.io import checkpoint as ckpt
+
+        seq = generate_sequence(n_frames=2, n_points=200, seed=34)
+        sys_ = small_system(seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        ckpt.save_system(tmp_path / "ck", sys_)
+        other = small_system(seq, extra={"Optimizer/Iterations": 4})
+        with pytest.raises(ValueError):
+            ckpt.restore_system(tmp_path / "ck", other)
+
+
+class TestUtils:
+    def test_logger_levels_and_file(self, tmp_path):
+        lg = make_logger(level=2, on_console=False, folder=str(tmp_path))
+        lg.info("hidden")
+        lg.warning("shown")
+        for h in lg.handlers:
+            h.flush()
+        text = (tmp_path / "visfs.log").read_text()
+        assert "shown" in text and "hidden" not in text
+
+    def test_stage_timer(self):
+        import jax.numpy as jnp
+
+        t = StageTimer()
+        with t.stage("matmul") as h:
+            h["sync"] = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        s = t.summary()
+        assert "matmul" in s and s["matmul"]["count"] == 1
+
+    def test_memory_usage(self):
+        assert memory_usage_mb() > 1.0

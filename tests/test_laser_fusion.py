@@ -1,0 +1,182 @@
+"""Laser fusion tests: occupied-space factor, strategies 3 and 4 end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visfs_tpu.io.sim import ate_rmse, generate_sequence
+from visfs_tpu.map2d import grid2d
+from visfs_tpu.map2d import probability_values as pv
+from visfs_tpu.slam.system import System
+from visfs_tpu.solver import occupied_space as osp
+
+
+class TestBicubic:
+    def test_interpolates_exact_at_nodes(self):
+        g = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (8, 8)),
+                        jnp.float32)
+        for (r, c) in [(2, 3), (4, 4), (1, 6)]:
+            v = osp.bicubic_cost(g, jnp.float32(r), jnp.float32(c))
+            assert float(v) == pytest.approx(float(g[r, c]), abs=1e-5)
+
+    def test_smooth_and_differentiable(self):
+        g = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.9, (8, 8)),
+                        jnp.float32)
+        f = lambda rc: osp.bicubic_cost(g, rc[0], rc[1])
+        grad = jax.grad(f)(jnp.asarray([3.3, 4.7], jnp.float32))
+        assert np.isfinite(np.asarray(grad)).all()
+        # finite-difference check
+        eps = 1e-3
+        fd = (f(jnp.asarray([3.3 + eps, 4.7])) - f(jnp.asarray([3.3 - eps, 4.7]))) / (2 * eps)
+        assert float(grad[0]) == pytest.approx(float(fd), abs=1e-2)
+
+    def test_out_of_grid_is_max_cost(self):
+        g = jnp.zeros((8, 8), jnp.float32) + 0.2
+        v = osp.bicubic_cost(g, jnp.float32(-10.0), jnp.float32(3.0))
+        assert float(v) == pytest.approx(pv.MAX_CORRESPONDENCE_COST, abs=1e-5)
+
+
+class TestOccupiedSpaceFactor:
+    def test_residual_low_on_occupied_cell(self):
+        """A scan point on an occupied cell has low correspondence cost."""
+        limits = grid2d.make_limits(0.1, 3.2, 3.2, 64, 64)
+        grid = grid2d.init_grid(limits)
+        # make a wall at x = 1.95 (a cell-center x; 2.0 would sit exactly on
+        # a cell boundary where bicubic blends with unknown neighbors)
+        ys = np.linspace(-1.95, 1.95, 40)
+        idx = grid2d.cell_index(
+            limits, jnp.asarray(np.stack([np.full_like(ys, 1.95), ys], -1))
+        )
+        grid = grid2d.set_probability(grid, idx, np.full(len(ys), 0.89))
+        cost_grid = jnp.asarray(
+            pv.value_to_correspondence_cost_table(), jnp.float32
+        )[grid.cells.astype(jnp.int32)]
+
+        q = jnp.array([1.0, 0, 0, 0], jnp.float32)  # Tcw = identity
+        t = jnp.zeros(3, jnp.float32)
+        t_ir = jnp.eye(4)
+        p_on = jnp.asarray([[1.95, 0.05, 0.0]], jnp.float32)  # cell center
+        p_off = jnp.asarray([[1.05, 0.05, 0.0]], jnp.float32)  # unknown space
+        r_on, _, _ = osp.occupied_space_terms(
+            q, t, p_on, jnp.ones(1, bool), cost_grid,
+            limits.resolution, limits.max_x, limits.max_y, t_ir, 1.0,
+        )
+        r_off, _, _ = osp.occupied_space_terms(
+            q, t, p_off, jnp.ones(1, bool), cost_grid,
+            limits.resolution, limits.max_x, limits.max_y, t_ir, 1.0,
+        )
+        assert float(r_on[0]) < 0.2
+        assert float(r_off[0]) > 0.8  # unknown cell -> max cost
+
+    def test_gradient_pulls_toward_wall(self):
+        """Jacobian of the cost wrt pose translation points at the wall."""
+        limits = grid2d.make_limits(0.1, 3.2, 3.2, 64, 64)
+        grid = grid2d.init_grid(limits)
+        xs = np.linspace(1.8, 2.2, 5)
+        for x in xs:
+            ys = np.linspace(-2.0, 2.0, 41)
+            idx = grid2d.cell_index(
+                limits, jnp.asarray(np.stack([np.full_like(ys, x), ys], -1))
+            )
+            grid = grid2d.set_probability(grid, idx, np.full(len(ys), 0.89))
+        cost_grid = jnp.asarray(
+            pv.value_to_correspondence_cost_table(), jnp.float32
+        )[grid.cells.astype(jnp.int32)]
+        q = jnp.array([1.0, 0, 0, 0], jnp.float32)
+        t = jnp.zeros(3, jnp.float32)
+        # scan point slightly off the wall (at x=1.55 vs wall at 1.8-2.2)
+        p = jnp.asarray([[1.65, 0.0, 0.0]], jnp.float32)
+        r, J, w = osp.occupied_space_terms(
+            q, t, p, jnp.ones(1, bool), cost_grid,
+            limits.resolution, limits.max_x, limits.max_y, jnp.eye(4), 1.0,
+        )
+        # translating the pose by -x moves the world point +x toward the
+        # wall... the gradient must be non-zero along the x tangent
+        assert abs(float(J[0, 0])) > 1e-3
+
+
+PARAMS = {
+    "Tracker/MaxFeatures": 150,
+    "Tracker/MinDistance": 16,
+    "Optimizer/Iterations": 10,
+    "LocalMap/NumRangeDataLimit": 20,
+}
+
+
+def build(strategy, seq, extent=192):
+    p = dict(PARAMS)
+    p["System/SensorStrategy"] = strategy
+    sys_ = System(p, scan_capacity=200, submap_extent_cells=extent)
+    cam = seq.camera
+    sys_.init(
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        float(cam.baseline), width=cam.width, height=cam.height,
+    )
+    return sys_
+
+
+class TestStrategy3:
+    """Stereo + laser + wheel: BA is visual+odom, laser builds the submap."""
+
+    def test_e2e_with_submap(self):
+        seq = generate_sequence(n_frames=10, n_points=400, seed=11,
+                                motion="arc", with_laser=True, n_beams=120)
+        sys_ = build(3, seq)
+        outs = sys_.run_sequence(
+            seq.stamps, seq.left, seq.right,
+            wheel_odom=seq.wheel_odom, scans=seq.laser_scans,
+        )
+        est = np.stack([np.asarray(o.pose) for o in outs])
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.02, ate
+
+        # submap contains occupied cells at the walls
+        sub = sys_.state.laser.submaps
+        assert bool(np.asarray(sub.slot_valid).any())
+        from visfs_tpu.map2d.submap import matching_grid
+
+        grid = matching_grid(sub)
+        ct = jnp.asarray(pv.value_to_correspondence_cost_table(), jnp.float32)
+        x0, x1, y0, y1 = seq.room
+        # probe a few wall points that fall inside the submap extent
+        occupied_probes = 0
+        hits = 0
+        for wall_pt in [(x0, 0.0), (0.0, y0), (0.0, y1)]:
+            idx = grid2d.cell_index(grid.limits, jnp.asarray(wall_pt))
+            if bool(grid2d.contains(grid.limits, idx)):
+                occupied_probes += 1
+                # wall coordinates sit exactly on cell boundaries; accept a
+                # hit in the 3x3 neighborhood
+                best = max(
+                    float(grid2d.probability(
+                        grid, idx + jnp.asarray([da, db]), ct
+                    ))
+                    for da in (-1, 0, 1) for db in (-1, 0, 1)
+                )
+                if best > 0.5:
+                    hits += 1
+        assert occupied_probes > 0
+        assert hits == occupied_probes
+
+        # free space near the robot start
+        idx = grid2d.cell_index(grid.limits, jnp.asarray([0.5, 0.0]))
+        assert float(grid2d.probability(grid, idx, ct)) < 0.5
+
+
+class TestStrategy4:
+    """Laser + wheel: BA scan-matches the newest pose against the submap."""
+
+    def test_e2e_laser_wheel(self):
+        seq = generate_sequence(n_frames=10, n_points=400, seed=12,
+                                motion="forward", with_laser=True,
+                                n_beams=120, odom_noise=0.0)
+        sys_ = build(4, seq)
+        outs = sys_.run_sequence(
+            seq.stamps, seq.left, seq.right,
+            wheel_odom=seq.wheel_odom, scans=seq.laser_scans,
+        )
+        est = np.stack([np.asarray(o.pose) for o in outs])
+        ate = ate_rmse(est, seq.poses)
+        assert ate < 0.05, ate
+        assert all(np.isfinite(e).all() for e in est)

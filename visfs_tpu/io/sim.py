@@ -31,6 +31,9 @@ class SimSequence(NamedTuple):
     wheel_odom: np.ndarray  # [T_odom, 8]: (stamp, x, y, z, roll, pitch, yaw, valid)
     points: np.ndarray  # [M, 3] world points
     camera: StereoCamera
+    laser_scans: np.ndarray | None = None  # [T, B, 3] robot-frame scans
+    room: tuple | None = None  # (x_min, x_max, y_min, y_max) wall rectangle
+    depth: np.ndarray | None = None  # [T, H, W] depth maps (RGBD mode)
 
 
 def default_camera(width=320, height=240):
@@ -67,6 +70,11 @@ def generate_sequence(
     odom_rate: float = 100.0,
     odom_noise: float = 0.0,
     camera: StereoCamera | None = None,
+    with_laser: bool = False,
+    n_beams: int = 180,
+    room: tuple = (-3.0, 18.0, -8.0, 8.0),
+    laser_noise: float = 0.0,
+    with_depth: bool = False,
 ) -> SimSequence:
     """Generate a stereo sequence of a robot moving through a starfield.
 
@@ -110,7 +118,7 @@ def generate_sequence(
     fx, fy = float(cam.fx), float(cam.fy)
     cx, cy = float(cam.cx), float(cam.cy)
 
-    lefts, rights = [], []
+    lefts, rights, depths = [], [], []
     for i in range(n_frames):
         T_rw = np.linalg.inv(poses[i])  # world -> robot
         p_robot = (T_rw[:3, :3] @ points.T).T + T_rw[:3, 3]
@@ -122,6 +130,10 @@ def generate_sequence(
             ur = (p_img[:, 0] - baseline) / z * fx + cx
         lefts.append(_render(np.stack([ul, vl, z], -1), intensities, width, height))
         rights.append(_render(np.stack([ur, vl, z], -1), intensities, width, height))
+        if with_depth:
+            depths.append(
+                _render_depth(np.stack([ul, vl, z], -1), width, height)
+            )
 
     stamps = np.arange(n_frames, dtype=np.float64) / fps
 
@@ -143,6 +155,15 @@ def generate_sequence(
             s += rng.normal(scale=odom_noise, size=3)
         odom[k] = [t, s[0], s[1], 0.0, 0.0, 0.0, s[2], 1.0]
 
+    laser_scans = None
+    if with_laser:
+        laser_scans = np.stack(
+            [
+                _scan_rectangle_room(poses[i], room, n_beams, rng, laser_noise)
+                for i in range(n_frames)
+            ]
+        )
+
     return SimSequence(
         left=np.stack(lefts),
         right=np.stack(rights),
@@ -151,7 +172,53 @@ def generate_sequence(
         wheel_odom=odom,
         points=points,
         camera=cam,
+        laser_scans=laser_scans,
+        room=room if with_laser else None,
+        depth=np.stack(depths) if with_depth else None,
     )
+
+
+def _render_depth(points_cam, width, height, rad=3):
+    """Dense-enough depth map: z written on a disc around each projection
+    (z-buffered by nearest)."""
+    depth = np.zeros((height, width), dtype=np.float32)
+    for (u, v, z) in points_cam:
+        if z <= 0.25 or not (rad <= u < width - rad and rad <= v < height - rad):
+            continue
+        iu, iv = int(u), int(v)
+        patch = depth[iv - rad : iv + rad + 1, iu - rad : iu + rad + 1]
+        mask = (patch == 0) | (patch > z)
+        patch[mask] = z
+    return depth
+
+
+def _scan_rectangle_room(pose, room, n_beams, rng, noise=0.0):
+    """2D laser scan of a rectangular room from a planar robot pose.
+
+    Returns [n_beams, 3] points in the ROBOT frame (z = 0); beams that
+    would exit the room (never happens for a closed rectangle) fall back to
+    a far range.
+    """
+    x0, x1, y0, y1 = room
+    px, py = pose[0, 3], pose[1, 3]
+    yaw = np.arctan2(pose[1, 0], pose[0, 0])
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    world_ang = angles + yaw
+    dx = np.cos(world_ang)
+    dy = np.sin(world_ang)
+
+    with np.errstate(divide="ignore"):
+        tx = np.where(dx > 0, (x1 - px) / dx,
+                      np.where(dx < 0, (x0 - px) / dx, np.inf))
+        ty = np.where(dy > 0, (y1 - py) / dy,
+                      np.where(dy < 0, (y0 - py) / dy, np.inf))
+    t = np.minimum(tx, ty)
+    if noise > 0:
+        t = t + rng.normal(scale=noise, size=t.shape)
+    # robot-frame endpoints
+    rx = t * np.cos(angles)
+    ry = t * np.sin(angles)
+    return np.stack([rx, ry, np.zeros_like(rx)], axis=-1).astype(np.float32)
 
 
 def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray) -> float:

@@ -64,6 +64,14 @@ class EstimatorSettings:
     max_features: int = 300
     min_parallax: float = 60.0
     min_translation: float = 0.5
+    # Laser fusion (strategies >= 3)
+    min_laser_range: float = 0.1
+    max_laser_range: float = 30.0
+    missing_data_ray_length: float = 5.0
+    laser_covariance: float = 0.1
+    num_range_data: int = 90  # Map/2dNumRangeData
+    insert_free_space: bool = True
+    raycast_samples: int = 128
 
 
 class EstimatorResult(NamedTuple):
@@ -84,6 +92,7 @@ class EstimatorResult(NamedTuple):
     blocked_uv: jnp.ndarray
     blocked_valid: jnp.ndarray
     covariance: jnp.ndarray
+    laser: object = None  # updated LaserState (strategies >= 3)
 
 
 def _twr_to_tcw(pose_q, pose_t, t_ri):
@@ -111,6 +120,8 @@ def estimator_step(
     cam: StereoCamera,
     cfg: EstimatorSettings,
     rng_key,
+    scan_points=None,  # [K, 3] laser-frame scan (strategies >= 3)
+    scan_mask=None,  # [K]
 ) -> EstimatorResult:
     W = trk.features.window
     cur = W - 1
@@ -245,6 +256,20 @@ def estimator_step(
     )
 
     # ------------------------------------------------------------------
+    # 2b. Laser pretreatment (Estimator.cpp:203-207, laserPretreatment)
+    # ------------------------------------------------------------------
+    use_laser = cfg.sensor_strategy >= 3 and state.laser is not None \
+        and scan_points is not None
+    if use_laser:
+        from . import laser as laser_mod
+
+        scan = laser_mod.pretreat(
+            scan_points, scan_mask, state.laser.t_laser_robot,
+            cfg.min_laser_range, cfg.max_laser_range,
+            cfg.missing_data_ray_length,
+        )
+
+    # ------------------------------------------------------------------
     # 3. Local BA (Estimator.cpp:215-315)
     # ------------------------------------------------------------------
     n_valid_sigs = jnp.sum(window.valid)
@@ -288,15 +313,39 @@ def estimator_step(
     )
 
     intr = StereoIntrinsics(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=bf)
+
+    # Laser-only strategies (4/5) drop visual landmarks and scan-match the
+    # newest pose against the matching submap (Estimator.cpp:243-250).
+    ba_obs_mask = features.obs_mask & lm_ba[:, None]
+    laser_data = None
+    if use_laser and cfg.sensor_strategy in (4, 5):
+        from ..map2d.submap import has_matching_submap, matching_grid
+
+        grid = matching_grid(state.laser.submaps)
+        have_map = has_matching_submap(state.laser.submaps)
+        cost_grid = state.laser.cost_table[grid.cells.astype(jnp.int32)]
+        laser_data = ba.LaserData(
+            points=scan.returns,
+            mask=scan.returns_mask & have_map,
+            cost_grid=cost_grid,
+            resolution=grid.limits.resolution,
+            max_x=grid.limits.max_x,
+            max_y=grid.limits.max_y,
+            t_ir=cam.t_ir,
+            info=jnp.asarray(1.0 / cfg.laser_covariance, dtype),
+        )
+        ba_obs_mask = jnp.zeros_like(ba_obs_mask)
+
     problem = ba.BAProblem(
         pose_q=tcw_q, pose_t=tcw_t,
         pose_valid=window.valid, pose_fixed=pose_fixed,
         lm_pos=features.pw, lm_valid=lm_ba, lm_fixed=features.stable,
-        obs=obs3, obs_mask=features.obs_mask & lm_ba[:, None],
+        obs=obs3, obs_mask=ba_obs_mask,
         link_q=mat_to_quat(link_mat[..., :3, :3]),
         link_t=link_mat[..., :3, 3],
         link_mask=link_mask,
         intr=intr,
+        laser=laser_data,
     )
     res_ba = ba.local_optimize(problem, cfg.ba)
     ba_ok = res_ba.ok & run_ba
@@ -343,6 +392,33 @@ def estimator_step(
     # ------------------------------------------------------------------
     if cfg.force_3dof:
         current_global = flatten_3dof(current_global)
+
+    # ------------------------------------------------------------------
+    # 5b. Submap insertion at the fused global pose (Estimator.cpp:377-388)
+    # ------------------------------------------------------------------
+    laser_state = state.laser
+    if use_laser:
+        from ..map2d.submap import insert_range_data_active
+
+        pose_for_map = jnp.where(transform_ok | bootstrap, current_global,
+                                 pose_mat)
+        hits_w = mat_apply(pose_for_map, scan.returns)[:, :2]
+        miss_w = mat_apply(pose_for_map, scan.misses)[:, :2]
+        origin_w = mat_apply(pose_for_map, scan.origin)[:2]
+        new_submaps = insert_range_data_active(
+            laser_state.submaps, origin_w,
+            hits_w, scan.returns_mask, miss_w, scan.misses_mask,
+            laser_state.hit_table, laser_state.miss_table,
+            num_range_data_limit=cfg.num_range_data,
+            samples=cfg.raycast_samples,
+            insert_free_space=cfg.insert_free_space,
+        )
+        do_insert = (transform_ok | bootstrap) & jnp.any(scan.returns_mask)
+        merged = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(do_insert, new, old),
+            new_submaps, laser_state.submaps,
+        )
+        laser_state = laser_state._replace(submaps=merged)
 
     # ------------------------------------------------------------------
     # 6. LocalMap write-back (updateLocalMap, Estimator.cpp:391-395)
@@ -434,6 +510,7 @@ def estimator_step(
         blocked_uv=blocked_uv,
         blocked_valid=blocked_valid,
         covariance=covariance,
+        laser=laser_state,
     )
 
 

@@ -1,0 +1,91 @@
+"""Monitor: debug visualization (reference Monitor thread equivalent).
+
+Mirrors corelib/src/Monitor.cpp:37-96 without the cv::imshow dependency:
+renders the stitched stereo pair with tracked (red) / newly-extracted (blue)
+/ blocked (yellow) keypoints, left-right match lines with depth labels
+omitted (numeric overlay needs a font stack), and the current submap image.
+Output is plain numpy RGB arrays the host can save or stream; rendering is
+pull-based from VOState instead of a third thread + queue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RED = (255, 64, 64)
+BLUE = (64, 64, 255)
+YELLOW = (255, 220, 0)
+GREEN = (64, 220, 64)
+
+
+def _to_rgb(img):
+    g = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _draw_cross(img, x, y, color, size=2):
+    h, w = img.shape[:2]
+    x, y = int(round(x)), int(round(y))
+    if not (0 <= x < w and 0 <= y < h):
+        return
+    img[max(0, y - size): y + size + 1, x] = color
+    img[y, max(0, x - size): x + size + 1] = color
+
+
+def _draw_line(img, x0, y0, x1, y1, color):
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1))
+    xs = np.linspace(x0, x1, n).round().astype(int)
+    ys = np.linspace(y0, y1, n).round().astype(int)
+    h, w = img.shape[:2]
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[ok], xs[ok]] = color
+
+
+def render_frame(state, left, right) -> np.ndarray:
+    """Stitched L|R debug image with keypoint overlays (Monitor.cpp:44-90)."""
+    left_rgb = _to_rgb(left)
+    right_rgb = _to_rgb(right)
+    h, w = left_rgb.shape[:2]
+    canvas = np.concatenate([left_rgb, right_rgb], axis=1)
+
+    f = state.features
+    cur = f.uv.shape[1] - 1
+    valid = np.asarray(f.valid)
+    obs = np.asarray(f.obs_mask[:, cur])
+    uv = np.asarray(f.uv[:, cur])
+    uvr = np.asarray(f.uv_right[:, cur])
+    cnt = np.asarray(f.track_cnt)
+    start = np.asarray(f.start_frame)
+    frame_id = int(state.frame_count) - 1
+
+    for i in np.nonzero(valid & obs)[0]:
+        color = BLUE if start[i] == frame_id else RED
+        _draw_cross(canvas, uv[i, 0], uv[i, 1], color)
+        _draw_cross(canvas, uvr[i, 0] + w, uvr[i, 1], GREEN)
+        if cnt[i] > 1:
+            _draw_line(canvas, uv[i, 0], uv[i, 1], uvr[i, 0] + w, uvr[i, 1],
+                       (80, 80, 80))
+
+    blocked = np.asarray(state.blocked_valid)
+    buv = np.asarray(state.blocked_uv)
+    for i in np.nonzero(blocked)[0]:
+        _draw_cross(canvas, buv[i, 0], buv[i, 1], YELLOW, size=3)
+    return canvas
+
+
+def render_submap(state) -> np.ndarray | None:
+    """Current matching-submap occupancy image (Monitor.cpp:91-95)."""
+    if state.laser is None:
+        return None
+    import jax.numpy as jnp
+
+    from ..map2d import grid2d
+    from ..map2d.submap import has_matching_submap, matching_grid
+
+    if not bool(has_matching_submap(state.laser.submaps)):
+        return None
+    grid = matching_grid(state.laser.submaps)
+    img = grid2d.grid_to_image(
+        grid, jnp.asarray(state.laser.cost_table)
+    )
+    return np.asarray(img)

@@ -81,6 +81,16 @@ class OdomBuffer(NamedTuple):
     head: jnp.ndarray  # int32 next write slot
 
 
+class LaserState(NamedTuple):
+    """Laser fusion state (strategies >= 3): active submaps + update tables."""
+
+    submaps: "object"  # map2d.submap.ActiveSubmaps2D
+    hit_table: jnp.ndarray  # [32768] uint16
+    miss_table: jnp.ndarray
+    cost_table: jnp.ndarray  # [65536] f32 value -> correspondence cost
+    t_laser_robot: jnp.ndarray  # [4, 4] laser -> robot extrinsic
+
+
 class VOState(NamedTuple):
     features: FeatureTable
     window: WindowState
@@ -104,6 +114,7 @@ class VOState(NamedTuple):
     blocked_uv: jnp.ndarray  # [B, 2] blocked-word positions (outlier feedback)
     blocked_valid: jnp.ndarray  # [B] bool
     rng_key: jnp.ndarray  # PRNG key for RANSAC
+    laser: LaserState | None = None  # structural None for strategies < 3
 
 
 class FrameOutput(NamedTuple):
@@ -160,9 +171,26 @@ def init_window(window: int) -> WindowState:
     )
 
 
+def init_laser_state(resolution: float, extent_cells: int,
+                     hit_probability: float, miss_probability: float,
+                     t_laser_robot=None) -> LaserState:
+    from ..map2d import probability_values as pv
+    from ..map2d.submap import init_active_submaps
+
+    hit, miss = pv.hit_miss_tables(hit_probability, miss_probability)
+    cost = jnp.asarray(pv.value_to_correspondence_cost_table(),
+                       dtype=jnp.float32)
+    t = (jnp.eye(4, dtype=F32) if t_laser_robot is None
+         else jnp.asarray(t_laser_robot, dtype=F32))
+    return LaserState(
+        submaps=init_active_submaps(resolution, extent_cells),
+        hit_table=hit, miss_table=miss, cost_table=cost, t_laser_robot=t,
+    )
+
+
 def init_state(height: int, width: int, capacity: int, window: int,
                odom_capacity: int = 64, blocked_capacity: int = 64,
-               seed: int = 0) -> VOState:
+               seed: int = 0, laser: LaserState | None = None) -> VOState:
     import jax
 
     return VOState(
@@ -199,4 +227,5 @@ def init_state(height: int, width: int, capacity: int, window: int,
         blocked_uv=jnp.zeros((blocked_capacity, 2), F32),
         blocked_valid=jnp.zeros((blocked_capacity,), bool),
         rng_key=jax.random.PRNGKey(seed),
+        laser=laser,
     )

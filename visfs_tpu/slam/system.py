@@ -61,6 +61,14 @@ def _build_settings(cfg: VISFSConfig) -> EstimatorSettings:
         max_features=cfg.tracker_max_features,
         min_parallax=cfg.local_map_min_parallax,
         min_translation=cfg.local_map_min_translation,
+        min_laser_range=cfg.estimator_min_laser_range,
+        max_laser_range=cfg.estimator_max_laser_range,
+        missing_data_ray_length=cfg.estimator_missing_data_ray_length,
+        laser_covariance=cfg.optimizer_laser_covariance,
+        # the active submaps are owned by LocalMap and use its group
+        # (LocalMap.cpp:44)
+        num_range_data=cfg.local_map_num_range_data_limit,
+        insert_free_space=cfg.local_map_insert_free_space,
     )
 
 
@@ -74,6 +82,8 @@ def vo_step_impl(
     lk_params: LKParams,
     cfg_hash: tuple,  # static extras: (max_features, quality, min_dist,
     # flow_back, min_depth, max_depth, clahe, wheel_freq)
+    scan_points=None,  # [K, 3] laser-frame scan (strategies >= 3)
+    scan_mask=None,
 ):
     (max_features, quality_level, min_distance, flow_back, min_depth,
      max_depth, use_clahe, wheel_freq) = cfg_hash
@@ -109,12 +119,14 @@ def vo_step_impl(
         min_distance=min_distance, min_inliers=cfg_est.min_inliers,
         flow_back=flow_back, min_depth=min_depth, max_depth=max_depth,
         lk_params=lk_params,
+        rgbd=(cfg_est.sensor_strategy == 1),
     )
 
     key, subkey = jax.random.split(state.rng_key)
     est = estimator_step(
         state._replace(window=window), trk, stamp, wheel_pose, wheel_ok,
         guess, cam, cfg_est, subkey,
+        scan_points=scan_points, scan_mask=scan_mask,
     )
 
     from ..core.lie import mat_to_quat
@@ -145,6 +157,7 @@ def vo_step_impl(
         blocked_uv=est.blocked_uv,
         blocked_valid=est.blocked_valid,
         rng_key=key,
+        laser=est.laser,
     )
 
     out = FrameOutput(
@@ -183,7 +196,8 @@ class System:
     """Host-side driver owning device state (reference System.h API)."""
 
     def __init__(self, parameters=None, feature_capacity_factor: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, scan_capacity: int = 512,
+                 submap_extent_cells: int = 256):
         self.cfg: VISFSConfig = (
             parameters if isinstance(parameters, VISFSConfig)
             else config_from_parameters(parameters)
@@ -207,6 +221,8 @@ class System:
         )
         self._capacity_factor = feature_capacity_factor
         self._seed = seed
+        self._scan_capacity = scan_capacity
+        self._submap_extent = submap_extent_cells
         self.camera: Optional[StereoCamera] = None
         self.state: Optional[VOState] = None
         self._results = collections.deque()
@@ -215,28 +231,54 @@ class System:
     # -- reference System::init (System.cpp:83-99) ------------------------
     def init(self, fx, fy, cx, cy, baseline, *, width, height,
              fxr=None, fyr=None, cxr=None, cyr=None,
-             transform_camera_to_robot=None):
+             transform_camera_to_robot=None, transform_laser_to_robot=None):
         self.camera = make_stereo_camera(
             fx, fy, cx, cy, baseline, fxr=fxr, fyr=fyr, cxr=cxr, cyr=cyr,
             t_camera_to_robot=transform_camera_to_robot,
             width=width, height=height,
         )
+        laser = None
+        if self.cfg.system_sensor_strategy >= 3:
+            from .state import init_laser_state
+
+            laser = init_laser_state(
+                resolution=self.cfg.local_map_map_resolution,
+                extent_cells=self._submap_extent,
+                hit_probability=self.cfg.local_map_hit_probability,
+                miss_probability=self.cfg.local_map_miss_probability,
+                t_laser_robot=transform_laser_to_robot,
+            )
         self.state = init_state(
             height, width,
             capacity=self._capacity_factor * self.cfg.tracker_max_features,
             window=self.cfg.local_map_map_size + 1,
             seed=self._seed,
+            laser=laser,
         )
 
     # -- reference System::inputPrimarySensorData -------------------------
-    def input_primary_sensor_data(self, stamp: float, left, right):
+    def input_primary_sensor_data(self, stamp: float, left, right,
+                                  scan=None):
+        """Feed one stereo frame (+ optional [K, 3] laser-frame scan)."""
         assert self.state is not None, "call init() first"
         self._collect_pending()
         left = jnp.asarray(left, dtype=jnp.float32)
         right = jnp.asarray(right, dtype=jnp.float32)
+        scan_points = scan_mask = None
+        if self.cfg.system_sensor_strategy >= 3:
+            K = self._scan_capacity
+            pts = np.zeros((K, 3), np.float32)
+            msk = np.zeros((K,), bool)
+            if scan is not None:
+                scan = np.asarray(scan, np.float32)[:K]
+                pts[: len(scan)] = scan
+                msk[: len(scan)] = True
+            scan_points = jnp.asarray(pts)
+            scan_mask = jnp.asarray(msk)
         self.state, out = vo_step(
             self.state, left, right, jnp.float32(stamp), self.camera,
             self.settings, self.lk_params, self._cfg_hash,
+            scan_points=scan_points, scan_mask=scan_mask,
         )
         # Async: don't block on the result; collect on the next call/output.
         self._pending = out
@@ -266,11 +308,13 @@ class System:
             return self._results.popleft()
         return None
 
-    def run_sequence(self, stamps, lefts, rights, wheel_odom=None):
+    def run_sequence(self, stamps, lefts, rights, wheel_odom=None,
+                     scans=None):
         """Convenience batch driver: feed a whole sequence, return outputs.
 
         wheel_odom: optional [K, 8] rows (stamp, x,y,z,roll,pitch,yaw, valid)
         interleaved by timestamp like the ROS callbacks would.
+        scans: optional per-frame [K_i, 3] laser-frame point arrays.
         """
         outs = []
         odom_i = 0
@@ -282,7 +326,8 @@ class System:
                     self.input_wheel_odometry(float(row[0]), row[1:7])
                     odom_i += 1
             self.input_primary_sensor_data(
-                float(stamps[i]), lefts[i], rights[i]
+                float(stamps[i]), lefts[i], rights[i],
+                scan=None if scans is None else scans[i],
             )
             out = self.output_odometry_info()
             if out is not None:

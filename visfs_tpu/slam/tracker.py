@@ -81,6 +81,7 @@ def tracker_step(
     min_depth: float,
     max_depth: float,
     lk_params: LKParams,
+    rgbd: bool = False,
 ) -> TrackerOutput:
     Fcap = features.capacity
     W = features.window
@@ -149,36 +150,66 @@ def tracker_step(
     new_cand = det.valid & (rank < budget)
 
     # ------------------------------------------------------------------
-    # 3. Stereo matching + triangulation for survivors and candidates
+    # 3. Depth association: stereo LK matching + triangulation, or (RGBD)
+    #    direct depth lookup with a virtual disparity — the docx §1
+    #    unification the reference declares but leaves TODO
+    #    (Tracker.cpp:228).
     # ------------------------------------------------------------------
     all_uv = jnp.concatenate([temporal_uv, new_uv], axis=0)
     all_mask = jnp.concatenate([temporal_mask, new_cand], axis=0)
-    if flow_back:
-        st = lk_track_bidirectional(
-            left, right, all_uv, all_uv, all_mask, lk_params, fb_threshold=0.5
+    if rgbd:
+        # `right` is the depth image (meters).  Sample at feature positions;
+        # the virtual right observation uR = uL - bf/z feeds the same BA
+        # stereo factor (doc/Stereo&&RGBDBAOptimization.docx §1).
+        xi = jnp.clip(all_uv[:, 0].astype(jnp.int32), 0, cam.width - 1)
+        yi = jnp.clip(all_uv[:, 1].astype(jnp.int32), 0, cam.height - 1)
+        z = right[yi, xi]
+        depth_ok = (
+            jnp.isfinite(z)
+            & jnp.where(min_depth < 0.0, z > 0.0, z > min_depth)
+            & jnp.where(max_depth <= 0.0, True, z <= max_depth)
         )
+        cur_ok = all_mask & depth_ok
+        z_safe = jnp.where(cur_ok, z, 1.0)
+        uvr_all = jnp.stack(
+            [all_uv[:, 0] - cam.bf / z_safe, all_uv[:, 1]], axis=-1
+        )
+        x_img = (all_uv[:, 0] - cam.cx) / cam.fx * z_safe
+        y_img = (all_uv[:, 1] - cam.cy) / cam.fy * z_safe
+        p_img = jnp.stack([x_img, y_img, z_safe], axis=-1)
+        p3d_robot = mat_apply(cam.t_ri, p_img)
+        p_img_z = jnp.where(cur_ok, z_safe, 0.0)
+        st_points = uvr_all
     else:
-        st = lk_track(left, right, all_uv, all_uv, all_mask, lk_params)
-    st_inb = (
-        (st.points[:, 0] >= 0) & (st.points[:, 0] < cam.width)
-        & (st.points[:, 1] >= 0) & (st.points[:, 1] < cam.height)
-    )
-    stereo_ok = st.status & st_inb & all_mask
-    p3d_robot, tri_ok = triangulate_stereo(
-        cam, all_uv, st.points, min_depth, max_depth
-    )
-    cur_ok = stereo_ok & tri_ok
-    p_img_z = jnp.where(
-        cur_ok,
-        mat_apply(cam.t_ir, jnp.where(cur_ok[:, None], p3d_robot, 0.0))[:, 2],
-        0.0,
-    )
+        if flow_back:
+            st = lk_track_bidirectional(
+                left, right, all_uv, all_uv, all_mask, lk_params,
+                fb_threshold=0.5,
+            )
+        else:
+            st = lk_track(left, right, all_uv, all_uv, all_mask, lk_params)
+        st_inb = (
+            (st.points[:, 0] >= 0) & (st.points[:, 0] < cam.width)
+            & (st.points[:, 1] >= 0) & (st.points[:, 1] < cam.height)
+        )
+        stereo_ok = st.status & st_inb & all_mask
+        p3d_robot, tri_ok = triangulate_stereo(
+            cam, all_uv, st.points, min_depth, max_depth
+        )
+        cur_ok = stereo_ok & tri_ok
+        p_img_z = jnp.where(
+            cur_ok,
+            mat_apply(cam.t_ir,
+                      jnp.where(cur_ok[:, None], p3d_robot, 0.0))[:, 2],
+            0.0,
+        )
+        st_points = st.points
 
     trk_ok = cur_ok[:Fcap]
     new_ok = cur_ok[Fcap:]
-    new_uvr = st.points[Fcap:]
+    new_uvr = st_points[Fcap:]
     new_depth = p_img_z[Fcap:]
-    trk_uvr = st.points[:Fcap]
+    trk_uvr = st_points[:Fcap]
     trk_depth = p_img_z[:Fcap]
 
     # ------------------------------------------------------------------

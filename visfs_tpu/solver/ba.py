@@ -50,6 +50,21 @@ _MAX_POINT_MOTION = 5.0
 _MAX_CHI2 = 1.0e12
 
 
+class LaserData(NamedTuple):
+    """Occupied-space scan-match terms on the newest pose (strategies 4/5;
+    Optimizer.cpp:226-258)."""
+
+    points: jnp.ndarray  # [K, 3] robot-frame scan hits
+    mask: jnp.ndarray  # [K] bool
+    cost_grid: jnp.ndarray  # [E, E] f32 correspondence costs of the
+    # matching submap
+    resolution: jnp.ndarray  # scalar
+    max_x: jnp.ndarray  # scalar
+    max_y: jnp.ndarray  # scalar
+    t_ir: jnp.ndarray  # [4, 4] robot -> image transform
+    info: jnp.ndarray  # scalar 1/laserCovariance
+
+
 class BAProblem(NamedTuple):
     """Masked, fixed-shape local BA problem."""
 
@@ -66,6 +81,7 @@ class BAProblem(NamedTuple):
     link_t: jnp.ndarray  # [P-1, 3] measured relative translation
     link_mask: jnp.ndarray  # [P-1] bool
     intr: StereoIntrinsics
+    laser: LaserData | None = None  # structural None disables laser terms
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,6 +157,17 @@ def _robust_chi2_total(problem, lm_pos, pose_q, pose_t, active_mask, settings):
     w_odo = 1.0 / settings.odometry_covariance
     link_chi2 = w_odo * jnp.sum(r_link * r_link, axis=-1)
     total = total + jnp.sum(link_chi2 * problem.link_mask.astype(rho.dtype))
+
+    if problem.laser is not None:
+        from .occupied_space import occupied_space_terms
+
+        la = problem.laser
+        cur = pose_q.shape[0] - 1
+        r_l, _, w_l = occupied_space_terms(
+            pose_q[cur], pose_t[cur], la.points, la.mask, la.cost_grid,
+            la.resolution, la.max_x, la.max_y, la.t_ir, la.info,
+        )
+        total = total + jnp.sum(w_l * r_l * r_l)
     return total
 
 
@@ -199,6 +226,22 @@ def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
         H = H.at[j : j + 6, i : i + 6].add(H12[n].T)
         g_p = g_p.at[i : i + 6].add(gl1[n])
         g_p = g_p.at[j : j + 6].add(gl2[n])
+
+    # Laser occupied-space terms on the newest pose (strategies 4/5).
+    if problem.laser is not None:
+        from .occupied_space import occupied_space_terms
+
+        la = problem.laser
+        cur = P - 1
+        r_l, J_l, w_l = occupied_space_terms(
+            pose_q[cur], pose_t[cur], la.points, la.mask, la.cost_grid,
+            la.resolution, la.max_x, la.max_y, la.t_ir, la.info,
+        )
+        Hl = jnp.einsum("k,ki,kj->ij", w_l, J_l, J_l)
+        gl = -jnp.einsum("k,ki,k->i", w_l, J_l, r_l)
+        s = 6 * cur
+        H = H.at[s : s + 6, s : s + 6].add(Hl)
+        g_p = g_p.at[s : s + 6].add(gl)
 
     # Landmarks participating in the Schur reduction: valid, free, observed.
     n_obs = jnp.sum(active_mask, axis=1)
