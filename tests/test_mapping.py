@@ -1,0 +1,103 @@
+"""Global mapping back-end tests: keyframe graph + loop closure on the
+8-device CPU mesh (BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from visfs_tpu.core.lie import mat_inv_se3, xyzrpy_to_mat
+from visfs_tpu.slam.mapping import MappingBackend
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("edges",))
+
+
+def square_loop_trajectory(n_side=6, step=0.5, drift=0.01, seed=0):
+    """Ground truth square loop + odometry-integrated (drifting) estimates."""
+    rng = np.random.default_rng(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    # 4 sides of n_side forward steps, a 90deg turn after each side
+    motions = []
+    for side in range(4):
+        motions += [(step, 0.0)] * n_side
+        motions += [(0.0, np.pi / 2)]
+    for (fwd, dyaw) in motions:
+        d = np.asarray(
+            xyzrpy_to_mat(*[jnp.float32(v) for v in
+                            (fwd, 0.0, 0.0, 0.0, 0.0, dyaw)])
+        )
+        gt.append((gt[-1] @ d).astype(np.float32))
+
+    est = [gt[0]]
+    for k in range(1, len(gt)):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        noise = np.asarray(
+            xyzrpy_to_mat(*[jnp.float32(v) for v in (
+                rng.normal(0, drift), rng.normal(0, drift), 0.0,
+                0.0, 0.0, rng.normal(0, drift))])
+        )
+        est.append((est[-1] @ rel @ noise).astype(np.float32))
+    return np.stack(gt), np.stack(est)
+
+
+class TestMappingBackend:
+    def test_loop_closure_reduces_drift(self, mesh):
+        gt, est = square_loop_trajectory(drift=0.015, seed=3)
+        backend = MappingBackend(mesh, max_nodes=64, max_edges=512)
+        for k in range(len(est)):
+            backend.add_keyframe(est[k], float(k))
+
+        err_before = np.linalg.norm(
+            backend.poses()[:, :3, 3] - gt[: len(est), :3, 3], axis=-1
+        )
+
+        # loop closure: final pose revisits the start
+        rel = np.linalg.inv(gt[0]) @ gt[len(est) - 1]
+        backend.add_loop_closure(0, len(est) - 1, rel, info=1e5)
+        # and a mid-loop constraint
+        mid = len(est) // 2
+        backend.add_loop_closure(
+            0, mid, np.linalg.inv(gt[0]) @ gt[mid], info=1e5
+        )
+        chi2 = backend.optimize(iterations=10, cg_iters=80)
+
+        err_after = np.linalg.norm(
+            backend.poses()[:, :3, 3] - gt[: len(est), :3, 3], axis=-1
+        )
+        assert err_after.max() < err_before.max() * 0.5, (
+            err_before.max(), err_after.max(), chi2
+        )
+        # anchor unchanged
+        np.testing.assert_allclose(backend.poses()[0], est[0], atol=1e-5)
+
+    def test_candidates_by_proximity(self, mesh):
+        gt, est = square_loop_trajectory(drift=0.0)
+        backend = MappingBackend(mesh, max_nodes=64, max_edges=512)
+        for k in range(len(est)):
+            backend.add_keyframe(est[k], float(k))
+        cands = backend.loop_candidates(radius=1.0, min_gap=10)
+        assert len(cands) > 0
+        # the closing pair (near-start, near-end) must appear
+        assert any(c[0] <= 2 and c[1] >= len(est) - 4 for c in cands), cands
+
+    def test_vo_integration(self, mesh):
+        """Keyframes flow from FrameOutputs of the VO front-end."""
+        from visfs_tpu.io.sim import generate_sequence
+        from visfs_tpu.slam.system import System
+
+        seq = generate_sequence(n_frames=8, n_points=300, seed=44)
+        cam = seq.camera
+        # low parallax threshold so this short sequence produces keyframes
+        sys_ = System({"Tracker/MaxFeatures": 100, "Tracker/MinDistance": 16,
+                       "LocalMap/MinParallax": 2.0})
+        sys_.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                  float(cam.baseline), width=cam.width, height=cam.height)
+        outs = sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        backend = MappingBackend(mesh, max_nodes=64, max_edges=256)
+        added = sum(backend.maybe_add(o) for o in outs)
+        assert added >= 1
+        assert int(backend.graph.n_nodes) == added

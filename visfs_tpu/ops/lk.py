@@ -37,6 +37,9 @@ class LKParams(NamedTuple):
     iterations: int = 30
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
+    # "auto": Pallas VMEM kernel on TPU, pure-jnp elsewhere;
+    # "pallas" / "jnp" force a path.
+    backend: str = "auto"
 
 
 class LKResult(NamedTuple):
@@ -136,6 +139,10 @@ def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
     flow = (pts_init - pts_from) / scale_top
     ok = valid_mask
 
+    use_pallas = params.backend == "pallas" or (
+        params.backend == "auto" and jax.default_backend() == "tpu"
+    )
+
     min_eig = jnp.zeros(pts_from.shape[0], dtype=img_from.dtype)
     for level in range(params.max_level, -1, -1):
         scale = 2.0 ** level
@@ -143,9 +150,21 @@ def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
         img_f = jnp.pad(pyr_from[level], pad, mode="edge")
         img_t = jnp.pad(pyr_to[level], pad, mode="edge")
         gx, gy = scharr_gradients(img_f)
-        flow, ok_g, min_eig = _track_level(
-            img_f, img_t, gx, gy, pts_l, flow, ok, params
-        )
+        if use_pallas:
+            from .pallas.lk_kernel import lk_level_pallas
+
+            flow, okf, min_eig = lk_level_pallas(
+                img_f, img_t, gx, gy, pts_l, flow,
+                ok.astype(img_f.dtype),
+                win=params.win_size, iterations=params.iterations,
+                eps=params.eps,
+                min_eig_threshold=params.min_eig_threshold,
+            )
+            ok_g = okf > 0.0
+        else:
+            flow, ok_g, min_eig = _track_level(
+                img_f, img_t, gx, gy, pts_l, flow, ok, params
+            )
         ok = ok & ok_g
         if level > 0:
             flow = flow * 2.0

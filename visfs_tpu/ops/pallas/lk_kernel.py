@@ -1,0 +1,147 @@
+"""Pallas TPU kernel for the pyramidal LK iteration loop.
+
+The pure-jnp LK (ops/lk.py) is HBM-bound: every iteration re-gathers a
+window patch per feature from HBM, and the iteration loop serializes those
+gathers (~76 ms for 240 features at 640x480 on v5e).  This kernel keeps the
+whole pyramid level (image pair + from-gradients) resident in VMEM and runs
+each feature's full iteration loop in one grid step — the patch reads become
+VMEM dynamic slices, eliminating the HBM round trips.
+
+Grid: one program per feature.  The image blocks use a constant index map so
+Mosaic keeps them in VMEM across the grid (no re-fetch per feature).
+Numerics match ops/lk.py exactly (same bilinear patch extraction, same
+gradient matrix, same eps/min-eig termination), so the two paths are
+interchangeable and cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bilinear_patch(img_ref, cx, cy, win: int):
+    """win x win patch centered at (cx, cy) from a VMEM image ref.
+
+    Mirrors ops/image.extract_patch_bilinear: integer-aligned (win+1)^2
+    region + 4-tap blend; border clamp.
+    """
+    h, w = img_ref.shape
+    half = win // 2
+    x0 = cx - half
+    y0 = cy - half
+    ix = jnp.floor(x0).astype(jnp.int32)
+    iy = jnp.floor(y0).astype(jnp.int32)
+    fx = x0 - ix.astype(x0.dtype)
+    fy = y0 - iy.astype(y0.dtype)
+    ix = jnp.clip(ix, 0, w - win - 2)
+    iy = jnp.clip(iy, 0, h - win - 2)
+    region = img_ref[pl.ds(iy, win + 1), pl.ds(ix, win + 1)]
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    return (
+        w00 * region[:-1, :-1]
+        + w10 * region[:-1, 1:]
+        + w01 * region[1:, :-1]
+        + w11 * region[1:, 1:]
+    )
+
+
+def _lk_level_kernel(img_from_ref, img_to_ref, gx_ref, gy_ref, pts_ref,
+                     flow_in_ref, active_ref, flow_out_ref, ok_ref,
+                     eig_ref, *, win: int, iterations: int, eps: float,
+                     min_eig_threshold: float):
+    i = pl.program_id(0)
+    px = pts_ref[i, 0]
+    py = pts_ref[i, 1]
+    active = active_ref[i] > 0.0
+
+    patch_i = _bilinear_patch(img_from_ref, px, py, win)
+    gx = _bilinear_patch(gx_ref, px, py, win)
+    gy = _bilinear_patch(gy_ref, px, py, win)
+    g11 = jnp.sum(gx * gx)
+    g12 = jnp.sum(gx * gy)
+    g22 = jnp.sum(gy * gy)
+    det = g11 * g22 - g12 * g12
+    trace = g11 + g22
+    min_eig = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))) \
+        * 0.5 / (win * win)
+    ok_g = (min_eig > min_eig_threshold) & (det > 1e-12)
+
+    inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+    gi11 = g22 * inv_det
+    gi12 = -g12 * inv_det
+    gi22 = g11 * inv_det
+
+    fx0 = flow_in_ref[i, 0]
+    fy0 = flow_in_ref[i, 1]
+
+    def cond(carry):
+        _, _, it, run = carry
+        return run & (it < iterations)
+
+    def body(carry):
+        fx, fy, it, _ = carry
+        patch_j = _bilinear_patch(img_to_ref, px + fx, py + fy, win)
+        diff = patch_i - patch_j
+        b1 = jnp.sum(diff * gx)
+        b2 = jnp.sum(diff * gy)
+        dx = gi11 * b1 + gi12 * b2
+        dy = gi12 * b1 + gi22 * b2
+        keep_going = (dx * dx + dy * dy) >= (eps * eps)
+        return fx + dx, fy + dy, it + 1, keep_going
+
+    run0 = active & ok_g
+    fx, fy, _, _ = jax.lax.while_loop(
+        cond, body, (fx0, fy0, jnp.zeros((), jnp.int32), run0)
+    )
+
+    flow_out_ref[i, 0] = jnp.where(run0, fx, fx0)
+    flow_out_ref[i, 1] = jnp.where(run0, fy, fy0)
+    ok_ref[i] = jnp.where(ok_g, 1.0, 0.0)
+    eig_ref[i] = min_eig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "iterations", "eps", "min_eig_threshold",
+                     "interpret"),
+)
+def lk_level_pallas(img_from, img_to, gx, gy, pts, flow_in, active, *,
+                    win: int, iterations: int, eps: float,
+                    min_eig_threshold: float, interpret: bool = False):
+    """One pyramid level of LK for all features (Pallas kernel).
+
+    img_*: [H, W] f32 (pre-padded so windows never clip); pts: [N, 2]
+    level-scale positions; flow_in: [N, 2]; active: [N] f32 mask.
+    Returns (flow_out [N,2], ok [N] f32, min_eig [N]).
+    """
+    n = pts.shape[0]
+    kernel = functools.partial(
+        _lk_level_kernel, win=win, iterations=iterations, eps=eps,
+        min_eig_threshold=min_eig_threshold,
+    )
+    img_spec = pl.BlockSpec(img_from.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((n, 2), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[img_spec, img_spec, img_spec, img_spec, vec_spec,
+                  vec_spec, scal_spec],
+        out_specs=[vec_spec, scal_spec, scal_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 2), img_from.dtype),
+            jax.ShapeDtypeStruct((n,), img_from.dtype),
+            jax.ShapeDtypeStruct((n,), img_from.dtype),
+        ],
+        interpret=interpret,
+    )(img_from, img_to, gx, gy, pts, flow_in, active)

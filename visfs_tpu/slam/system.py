@@ -296,8 +296,11 @@ class System:
         )
 
     def _collect_pending(self):
+        # Keep results on-device: forcing a transfer here would insert a
+        # host<->device round trip into every frame and serialize the
+        # pipeline.  Transfers happen when results are popped.
         if self._pending is not None:
-            self._results.append(jax.device_get(self._pending))
+            self._results.append(self._pending)
             self._pending = None
 
     # -- reference System::outputOdometryInfo -----------------------------
@@ -305,8 +308,15 @@ class System:
         """Pop the oldest finished frame result, or None."""
         self._collect_pending()
         if self._results:
-            return self._results.popleft()
+            return jax.device_get(self._results.popleft())
         return None
+
+    def drain_outputs(self):
+        """Fetch every finished frame result in one host transfer."""
+        self._collect_pending()
+        outs = list(self._results)
+        self._results.clear()
+        return jax.device_get(outs)
 
     def run_sequence(self, stamps, lefts, rights, wheel_odom=None,
                      scans=None):
