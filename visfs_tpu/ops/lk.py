@@ -37,9 +37,10 @@ class LKParams(NamedTuple):
     iterations: int = 30
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
-    # "auto": Pallas VMEM kernel on TPU, pure-jnp elsewhere;
-    # "pallas" / "jnp" force a path.
-    backend: str = "auto"
+    # "jnp" (default) or "pallas" (VMEM kernel; requires a Mosaic build that
+    # supports dynamic-offset VMEM slices — the current remote compiler
+    # crashes on them, so the kernel is opt-in until that lands).
+    backend: str = "jnp"
 
 
 class LKResult(NamedTuple):
@@ -139,9 +140,7 @@ def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
     flow = (pts_init - pts_from) / scale_top
     ok = valid_mask
 
-    use_pallas = params.backend == "pallas" or (
-        params.backend == "auto" and jax.default_backend() == "tpu"
-    )
+    use_pallas = params.backend == "pallas"
 
     min_eig = jnp.zeros(pts_from.shape[0], dtype=img_from.dtype)
     for level in range(params.max_level, -1, -1):

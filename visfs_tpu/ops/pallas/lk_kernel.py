@@ -2,13 +2,14 @@
 
 The pure-jnp LK (ops/lk.py) is HBM-bound: every iteration re-gathers a
 window patch per feature from HBM, and the iteration loop serializes those
-gathers (~76 ms for 240 features at 640x480 on v5e).  This kernel keeps the
+gathers (~80 ms for 240 features at 640x480 on v5e).  This kernel keeps the
 whole pyramid level (image pair + from-gradients) resident in VMEM and runs
 each feature's full iteration loop in one grid step — the patch reads become
 VMEM dynamic slices, eliminating the HBM round trips.
 
 Grid: one program per feature.  The image blocks use a constant index map so
-Mosaic keeps them in VMEM across the grid (no re-fetch per feature).
+Mosaic keeps them in VMEM across the grid; per-feature scalars (positions,
+flow, status) live in SMEM (Mosaic forbids scalar stores to VMEM).
 Numerics match ops/lk.py exactly (same bilinear patch extraction, same
 gradient matrix, same eps/min-eig termination), so the two paths are
 interchangeable and cross-checked in tests.
@@ -53,14 +54,15 @@ def _bilinear_patch(img_ref, cx, cy, win: int):
     )
 
 
-def _lk_level_kernel(img_from_ref, img_to_ref, gx_ref, gy_ref, pts_ref,
-                     flow_in_ref, active_ref, flow_out_ref, ok_ref,
-                     eig_ref, *, win: int, iterations: int, eps: float,
+def _lk_level_kernel(pts_ref, flow_in_ref, active_ref,  # SMEM inputs
+                     img_from_ref, img_to_ref, gx_ref, gy_ref,  # VMEM
+                     flow_out_ref, ok_ref, eig_ref,  # SMEM outputs
+                     *, win: int, iterations: int, eps: float,
                      min_eig_threshold: float):
     i = pl.program_id(0)
     px = pts_ref[i, 0]
     py = pts_ref[i, 1]
-    active = active_ref[i] > 0.0
+    active = active_ref[i, 0] > 0.0
 
     patch_i = _bilinear_patch(img_from_ref, px, py, win)
     gx = _bilinear_patch(gx_ref, px, py, win)
@@ -104,8 +106,8 @@ def _lk_level_kernel(img_from_ref, img_to_ref, gx_ref, gy_ref, pts_ref,
 
     flow_out_ref[i, 0] = jnp.where(run0, fx, fx0)
     flow_out_ref[i, 1] = jnp.where(run0, fy, fy0)
-    ok_ref[i] = jnp.where(ok_g, 1.0, 0.0)
-    eig_ref[i] = min_eig
+    ok_ref[i, 0] = jnp.where(ok_g, 1.0, 0.0)
+    eig_ref[i, 0] = min_eig
 
 
 @functools.partial(
@@ -129,19 +131,19 @@ def lk_level_pallas(img_from, img_to, gx, gy, pts, flow_in, active, *,
     )
     img_spec = pl.BlockSpec(img_from.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((n, 2), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    scal_spec = pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    smem2 = pl.BlockSpec((n, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem1 = pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    flow, ok, eig = pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[img_spec, img_spec, img_spec, img_spec, vec_spec,
-                  vec_spec, scal_spec],
-        out_specs=[vec_spec, scal_spec, scal_spec],
+        in_specs=[smem2, smem2, smem1, img_spec, img_spec, img_spec,
+                  img_spec],
+        out_specs=[smem2, smem1, smem1],
         out_shape=[
             jax.ShapeDtypeStruct((n, 2), img_from.dtype),
-            jax.ShapeDtypeStruct((n,), img_from.dtype),
-            jax.ShapeDtypeStruct((n,), img_from.dtype),
+            jax.ShapeDtypeStruct((n, 1), img_from.dtype),
+            jax.ShapeDtypeStruct((n, 1), img_from.dtype),
         ],
         interpret=interpret,
-    )(img_from, img_to, gx, gy, pts, flow_in, active)
+    )(pts, flow_in, active[:, None], img_from, img_to, gx, gy)
+    return flow, ok[:, 0], eig[:, 0]
