@@ -96,3 +96,23 @@ class TestUtils:
 
     def test_memory_usage(self):
         assert memory_usage_mb() > 1.0
+
+
+class TestInterface:
+    def test_odometry_messages(self):
+        from visfs_tpu.io.interface import frame_output_to_messages, BAD_COVARIANCE
+
+        seq = generate_sequence(n_frames=4, n_points=300, seed=35)
+        sys_ = small_system(seq)
+        outs = sys_.run_sequence(seq.stamps, seq.left, seq.right)
+
+        # frame 0 is lost -> null odometry with BAD_COVARIANCE
+        odom0, info0 = frame_output_to_messages(outs[0])
+        assert not odom0.valid and info0.lost
+        assert odom0.pose_covariance[0, 0] == BAD_COVARIANCE
+
+        odom, info = frame_output_to_messages(outs[-1], prev_stamp=float(outs[-2].stamp))
+        assert odom.valid and not info.lost
+        assert info.inliers >= 12
+        assert abs(info.interval - 0.1) < 1e-3
+        assert np.isfinite(odom.position).all()

@@ -1,0 +1,96 @@
+"""Odometry publication structures (Interface/ROS equivalent, ROS-free).
+
+The reference's VISFSInterfaceROS publishes nav_msgs/Odometry +
+rtabmap_ros/OdomInfo from the per-frame results (InterfaceROS.cpp:225-323,
+MsgConversion.cpp:93-120), with a BAD_COVARIANCE null-odometry message when
+tracking is lost (:291-312).  This module provides the same payloads as
+plain dataclasses for any middleware binding (ROS1/ROS2/zmq/...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+BAD_COVARIANCE = 9999.0
+
+
+@dataclasses.dataclass
+class Odometry:
+    """nav_msgs/Odometry equivalent."""
+
+    stamp: float
+    position: np.ndarray  # [3]
+    orientation_wxyz: np.ndarray  # [4]
+    pose_covariance: np.ndarray  # [6, 6]
+    linear_velocity: np.ndarray  # [3]
+    angular_velocity: np.ndarray  # [3]
+    valid: bool
+
+
+@dataclasses.dataclass
+class OdomInfo:
+    """rtabmap_ros/OdomInfo equivalent diagnostics."""
+
+    stamp: float
+    lost: bool
+    matches: int
+    inliers: int
+    features: int
+    new_features: int
+    keyframe: bool
+    ba_chi2: float
+    ba_ok: bool
+    interval: float
+
+
+def frame_output_to_messages(out, prev_stamp: Optional[float] = None):
+    """Convert a FrameOutput into (Odometry, OdomInfo).
+
+    Lost frames publish null odometry with BAD_COVARIANCE diagonals, exactly
+    like the reference (InterfaceROS.cpp:291-312).
+    """
+    from ..core.lie import mat_to_quat
+
+    pose = np.asarray(out.pose)
+    lost = bool(out.lost)
+    stamp = float(out.stamp)
+    vel = np.asarray(out.velocity)
+
+    if lost:
+        cov = np.eye(6) * BAD_COVARIANCE
+        odom = Odometry(
+            stamp=stamp,
+            position=np.zeros(3),
+            orientation_wxyz=np.array([1.0, 0, 0, 0]),
+            pose_covariance=cov,
+            linear_velocity=np.zeros(3),
+            angular_velocity=np.zeros(3),
+            valid=False,
+        )
+    else:
+        odom = Odometry(
+            stamp=stamp,
+            position=pose[:3, 3].copy(),
+            orientation_wxyz=np.asarray(mat_to_quat(out.pose[:3, :3])),
+            pose_covariance=np.asarray(out.covariance),
+            linear_velocity=vel[:3].copy(),
+            angular_velocity=vel[3:].copy(),
+            valid=True,
+        )
+
+    info = OdomInfo(
+        stamp=stamp,
+        lost=lost,
+        matches=int(out.n_matches),
+        inliers=int(out.n_inliers),
+        features=int(out.n_features),
+        new_features=int(out.n_new),
+        keyframe=bool(out.keyframe),
+        ba_chi2=float(out.ba_chi2),
+        ba_ok=bool(out.ba_ok),
+        interval=(stamp - prev_stamp) if prev_stamp is not None else 0.0,
+    )
+    return odom, info

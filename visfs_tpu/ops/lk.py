@@ -85,20 +85,65 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     gi12 = -g12 * inv_det
     gi22 = g11 * inv_det
 
-    def cond(carry):
-        _, active_now, it = carry
-        return (it < params.iterations) & jnp.any(active_now)
+    # ------------------------------------------------------------------
+    # Iteration loop with matmul-based patch sampling.
+    #
+    # Per-iteration gathers (vmap'd dynamic slices at evolving positions)
+    # cost ~0.2 ms/iteration on TPU and dominate the front-end.  Instead we
+    # extract one (win + 2*margin)^2 region per feature ONCE at the initial
+    # position, and inside the loop sample the bilinear patch from it with
+    # separable tent-weight selector matmuls:
+    #     patch = Sy @ region @ Sx^T,   S[p, r] = max(0, 1 - |r - (off + p)|)
+    # which is exactly 2-D bilinear interpolation, expressed as two small
+    # batched matmuls (MXU work, no dynamic indexing).  Features whose flow
+    # drifts beyond the margin clamp to the region edge and are culled by
+    # the reverse-flow/bounds checks downstream.
+    # ------------------------------------------------------------------
+    margin = 10
+    R = win + 1 + 2 * margin
+    half = win // 2
+
+    def extract_region(pt):
+        ix = jnp.clip(
+            jnp.floor(pt[0]).astype(jnp.int32) - half - margin, 0, w - R
+        )
+        iy = jnp.clip(
+            jnp.floor(pt[1]).astype(jnp.int32) - half - margin, 0, h - R
+        )
+        return jax.lax.dynamic_slice(img_to, (iy, ix), (R, R)), jnp.stack(
+            [ix, iy]
+        )
+
+    region, origin = jax.vmap(extract_region)(pts_from + flow)
+    origin = origin.astype(fdtype)  # [N, 2] (x, y) region corners
+
+    taps = jnp.arange(R, dtype=fdtype)  # [R]
+    prows = jnp.arange(win, dtype=fdtype)  # [win]
+
+    def sample_patches(flow):
+        # top-left corner of the patch in region coordinates
+        offx = pts_from[:, 0] + flow[:, 0] - half - origin[:, 0]
+        offy = pts_from[:, 1] + flow[:, 1] - half - origin[:, 1]
+        offx = jnp.clip(offx, 0.0, R - win - 1.0)
+        offy = jnp.clip(offy, 0.0, R - win - 1.0)
+        # tent selectors [N, win, R]
+        sy = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(taps[None, None, :]
+                          - (offy[:, None, None] + prows[None, :, None])),
+        )
+        sx = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(taps[None, None, :]
+                          - (offx[:, None, None] + prows[None, :, None])),
+        )
+        tmp = jnp.einsum("npr,nrc->npc", sy, region)  # [N, win, R]
+        return jnp.einsum("npc,nqc->npq", tmp, sx)  # [N, win, win]
 
     def body(carry):
         flow, active_now, it = carry
-
-        def residual(pt_to, p_i):
-            patch_j = extract_patch_bilinear(img_to, pt_to, win)
-            diff = p_i - patch_j
-            return diff
-
-        pts_to = pts_from + flow
-        diff = jax.vmap(residual)(pts_to, patch_i)
+        patch_j = sample_patches(flow)
+        diff = patch_i - patch_j
         b1 = jnp.sum(diff * gx, axis=(1, 2))
         b2 = jnp.sum(diff * gy, axis=(1, 2))
         dx = gi11 * b1 + gi12 * b2
@@ -109,6 +154,10 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         step_sq = jnp.sum(step * step, axis=-1)
         still = active_now & (step_sq >= params.eps * params.eps)
         return new_flow, still, it + 1
+
+    def cond(carry):
+        _, active_now, it = carry
+        return (it < params.iterations) & jnp.any(active_now)
 
     flow, _, _ = jax.lax.while_loop(
         cond, body, (flow, active & ok_g, jnp.zeros((), jnp.int32))
