@@ -86,7 +86,7 @@ def vo_step_impl(
     scan_mask=None,
 ):
     (max_features, quality_level, min_distance, flow_back, min_depth,
-     max_depth, use_clahe, wheel_freq) = cfg_hash
+     max_depth, use_clahe, wheel_freq, cull_fund, fund_thresh) = cfg_hash
 
     if use_clahe:
         from ..ops.image import clahe
@@ -111,6 +111,8 @@ def vo_step_impl(
         wheel_freq,
     )
 
+    key, subkey, trk_key = jax.random.split(state.rng_key, 3)
+
     trk = tracker_step(
         features, state.prev_left, state.prev_right, left, right,
         state.has_prev, guess, state.blocked_uv, state.blocked_valid,
@@ -120,9 +122,9 @@ def vo_step_impl(
         flow_back=flow_back, min_depth=min_depth, max_depth=max_depth,
         lk_params=lk_params,
         rgbd=(cfg_est.sensor_strategy == 1),
+        cull_fundamental=cull_fund, fundamental_threshold=fund_thresh,
+        rng_key=trk_key,
     )
-
-    key, subkey = jax.random.split(state.rng_key)
     est = estimator_step(
         state._replace(window=window), trk, stamp, wheel_pose, wheel_ok,
         guess, cam, cfg_est, subkey,
@@ -218,6 +220,8 @@ class System:
             self.cfg.tracker_max_depth,
             self.cfg.system_clahe,
             self.cfg.system_wheel_odometry_freq,
+            self.cfg.tracker_cull_by_fundation_matrix,
+            self.cfg.tracker_fundation_pixel_error,
         )
         self._capacity_factor = feature_capacity_factor
         self._seed = seed

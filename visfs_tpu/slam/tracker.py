@@ -82,6 +82,9 @@ def tracker_step(
     max_depth: float,
     lk_params: LKParams,
     rgbd: bool = False,
+    cull_fundamental: bool = False,
+    fundamental_threshold: float = 1.0,
+    rng_key=None,
 ) -> TrackerOutput:
     Fcap = features.capacity
     W = features.window
@@ -122,6 +125,16 @@ def tracker_step(
         )
     else:
         trk = lk_track(prev_left, left, prev_uv, init_uv, prev_mask, lk_params)
+        if cull_fundamental:
+            # Tracker/CullByFundationMatrix path (Tracker.cpp:275-277,
+            # 83-96): epipolar RANSAC replaces the reverse-flow gate.
+            from ..ops.fundamental import cull_with_fundamental
+
+            inl, _ = cull_with_fundamental(
+                prev_uv, trk.points, trk.status & prev_mask, rng_key,
+                threshold=fundamental_threshold,
+            )
+            trk = trk._replace(status=trk.status & inl)
 
     inb = (
         (trk.points[:, 0] >= 0) & (trk.points[:, 0] < cam.width)
