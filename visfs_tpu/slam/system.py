@@ -38,6 +38,22 @@ from .state import FrameOutput, VOState, init_state
 from .tracker import tracker_step
 
 
+def build_cfg_hash(cfg: VISFSConfig) -> tuple:
+    """Static tracker/system extras passed to vo_step (hashable)."""
+    return (
+        cfg.tracker_max_features,
+        cfg.tracker_quality_level,
+        cfg.tracker_min_distance,
+        cfg.tracker_flow_back,
+        cfg.tracker_min_depth,
+        cfg.tracker_max_depth,
+        cfg.system_clahe,
+        cfg.system_wheel_odometry_freq,
+        cfg.tracker_cull_by_fundation_matrix,
+        cfg.tracker_fundation_pixel_error,
+    )
+
+
 def _build_settings(cfg: VISFSConfig) -> EstimatorSettings:
     return EstimatorSettings(
         sensor_strategy=cfg.system_sensor_strategy,
@@ -211,18 +227,7 @@ class System:
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
         )
-        self._cfg_hash = (
-            self.cfg.tracker_max_features,
-            self.cfg.tracker_quality_level,
-            self.cfg.tracker_min_distance,
-            self.cfg.tracker_flow_back,
-            self.cfg.tracker_min_depth,
-            self.cfg.tracker_max_depth,
-            self.cfg.system_clahe,
-            self.cfg.system_wheel_odometry_freq,
-            self.cfg.tracker_cull_by_fundation_matrix,
-            self.cfg.tracker_fundation_pixel_error,
-        )
+        self._cfg_hash = build_cfg_hash(self.cfg)
         self._capacity_factor = feature_capacity_factor
         self._seed = seed
         self._scan_capacity = scan_capacity
