@@ -17,23 +17,27 @@ from jax import lax
 
 
 def _conv1d(img, kernel, axis):
-    """Separable 'same' convolution along one axis with edge replication."""
-    k = kernel.shape[0]
+    """Separable 'same' convolution along one axis with edge replication.
+
+    Implemented as shift-and-add over static slices rather than
+    lax.conv_general_dilated: a 1-channel conv on TPU pads the channel dim
+    to the full 128-lane register width (~128x wasted MXU work plus layout
+    transposes), while k<=5 shifted adds are pure fusable VPU work.
+    """
+    k = int(kernel.shape[0])
     pad = k // 2
+    h, w = img.shape
     if axis == 0:
         img_p = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-        window = (k, 1)
-        kern = kernel.reshape(k, 1, 1, 1)
+        out = kernel[0] * lax.slice(img_p, (0, 0), (h, w))
+        for i in range(1, k):
+            out = out + kernel[i] * lax.slice(img_p, (i, 0), (i + h, w))
     else:
         img_p = jnp.pad(img, ((0, 0), (pad, pad)), mode="edge")
-        window = (1, k)
-        kern = kernel.reshape(1, k, 1, 1)
-    x = img_p[None, :, :, None]
-    out = lax.conv_general_dilated(
-        x, kern.astype(img.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out[0, :, :, 0]
+        out = kernel[0] * lax.slice(img_p, (0, 0), (h, w))
+        for i in range(1, k):
+            out = out + kernel[i] * lax.slice(img_p, (0, i), (h, i + w))
+    return out
 
 
 def sep_filter(img, kv, kh):

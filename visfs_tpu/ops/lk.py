@@ -49,6 +49,38 @@ class LKResult(NamedTuple):
     err: jnp.ndarray  # [N] min-eigenvalue error measure
 
 
+class LKPyramid(NamedTuple):
+    """Precomputed padded image pyramid + Scharr gradients.
+
+    Building this once per image and sharing it across the four LK passes
+    (temporal forward/reverse, stereo forward/reverse — the reference's four
+    calcOpticalFlowPyrLK call sites share pyramids the same way via
+    cv::buildOpticalFlowPyramid) saves ~60% of the front-end time: pyramid
+    construction + gradients dominate over the iteration loop itself.
+    """
+
+    levels: tuple  # per level: padded image [Hl+2p, Wl+2p]
+    gx: tuple  # per level: Scharr x-gradient of the padded image
+    gy: tuple  # per level: Scharr y-gradient
+    height: int  # unpadded level-0 dims (static)
+    width: int
+    pad: int
+
+
+def build_lk_pyramid(img, params: LKParams = LKParams()) -> LKPyramid:
+    """Padded pyramid + gradients for use as either `from` or `to` image."""
+    pad = params.win_size // 2 + 2
+    levels, gxs, gys = [], [], []
+    for im in build_pyramid(img, params.max_level):
+        imp = jnp.pad(im, pad, mode="edge")
+        gx, gy = scharr_gradients(imp)
+        levels.append(imp)
+        gxs.append(gx)
+        gys.append(gy)
+    h, w = img.shape
+    return LKPyramid(tuple(levels), tuple(gxs), tuple(gys), h, w, pad)
+
+
 def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
                  params: LKParams):
     """One pyramid level of LK for all features.
@@ -62,29 +94,34 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     h, w = img_from.shape
     fdtype = img_from.dtype
 
-    # One stacked gather per feature for (image, grad_x, grad_y): a single
-    # slice round instead of three (gather rounds are the expensive part on
-    # TPU; the bilinear blend is cheap VPU work).
+    # Bilinear win x win patches of (image, grad_x, grad_y) for every
+    # feature via separable tent-selector matmuls instead of per-feature
+    # gathers: a vmap'd dynamic_slice lowers to a TPU gather with a ~0.6 ms
+    # latency floor per call site regardless of size, while
+    #     patch = Sy @ img @ Sx^T,  S[p, r] = max(0, 1 - |r - (x0 + p)|)
+    # is exact 2-D bilinear interpolation as two MXU matmuls that fuse with
+    # the rest of the level setup.
     stack3 = jnp.stack([img_from, grad_x, grad_y])  # [3, H, W]
 
-    def per_feature_setup(pt):
-        x0 = pt[0] - win // 2
-        y0 = pt[1] - win // 2
-        ix = jnp.floor(x0).astype(jnp.int32)
-        iy = jnp.floor(y0).astype(jnp.int32)
-        fx = x0 - ix.astype(fdtype)
-        fy = y0 - iy.astype(fdtype)
-        ix = jnp.clip(ix, 0, w - win - 1)
-        iy = jnp.clip(iy, 0, h - win - 1)
-        reg = jax.lax.dynamic_slice(stack3, (0, iy, ix), (3, win + 1, win + 1))
-        return (
-            (1 - fx) * (1 - fy) * reg[:, :-1, :-1]
-            + fx * (1 - fy) * reg[:, :-1, 1:]
-            + (1 - fx) * fy * reg[:, 1:, :-1]
-            + fx * fy * reg[:, 1:, 1:]
-        )
-
-    patches = jax.vmap(per_feature_setup)(pts_from)  # [N, 3, win, win]
+    x0 = jnp.clip(pts_from[:, 0] - win // 2, 0.0, w - win - 1.0)
+    y0 = jnp.clip(pts_from[:, 1] - win // 2, 0.0, h - win - 1.0)
+    rows_h = jnp.arange(h, dtype=fdtype)
+    rows_w = jnp.arange(w, dtype=fdtype)
+    taps_p = jnp.arange(win, dtype=fdtype)
+    sy = jnp.maximum(
+        0.0,
+        1.0 - jnp.abs(rows_h[None, None, :]
+                      - (y0[:, None, None] + taps_p[None, :, None])),
+    )  # [N, win, H]
+    sx = jnp.maximum(
+        0.0,
+        1.0 - jnp.abs(rows_w[None, None, :]
+                      - (x0[:, None, None] + taps_p[None, :, None])),
+    )  # [N, win, W]
+    rows3 = jnp.einsum("nph,shw->nspw", sy, stack3,
+                       preferred_element_type=fdtype)  # [N, 3, win, W]
+    patches = jnp.einsum("nspw,nqw->nspq", rows3, sx,
+                         preferred_element_type=fdtype)  # [N, 3, win, win]
     patch_i = patches[:, 0]
     gx = patches[:, 1]
     gy = patches[:, 2]
@@ -121,19 +158,26 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     R = win + 1 + 2 * margin
     half = win // 2
 
-    def extract_region(pt):
-        ix = jnp.clip(
-            jnp.floor(pt[0]).astype(jnp.int32) - half - margin, 0, w - R
-        )
-        iy = jnp.clip(
-            jnp.floor(pt[1]).astype(jnp.int32) - half - margin, 0, h - R
-        )
-        return jax.lax.dynamic_slice(img_to, (iy, ix), (R, R)), jnp.stack(
-            [ix, iy]
-        )
-
-    region, origin = jax.vmap(extract_region)(pts_from + flow)
-    origin = origin.astype(fdtype)  # [N, 2] (x, y) region corners
+    # Integer-aligned R x R regions of img_to per feature, again as one-hot
+    # selector matmuls instead of a per-feature gather (same rationale as
+    # the setup patches above).
+    ctr = pts_from + flow
+    oix = jnp.clip(
+        jnp.floor(ctr[:, 0]).astype(jnp.int32) - half - margin, 0, w - R
+    )
+    oiy = jnp.clip(
+        jnp.floor(ctr[:, 1]).astype(jnp.int32) - half - margin, 0, h - R
+    )
+    taps_r = jnp.arange(R, dtype=jnp.int32)
+    ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
+          == (oiy[:, None, None] + taps_r[None, :, None])).astype(fdtype)
+    rx = (jnp.arange(w, dtype=jnp.int32)[None, None, :]
+          == (oix[:, None, None] + taps_r[None, :, None])).astype(fdtype)
+    region_rows = jnp.einsum("nph,hw->npw", ry, img_to,
+                             preferred_element_type=fdtype)  # [N, R, W]
+    region = jnp.einsum("npw,nqw->npq", region_rows, rx,
+                        preferred_element_type=fdtype)  # [N, R, R]
+    origin = jnp.stack([oix, oiy], axis=-1).astype(fdtype)  # (x, y) corners
 
     taps = jnp.arange(R, dtype=fdtype)  # [R]
     prows = jnp.arange(win, dtype=fdtype)  # [win]
@@ -183,25 +227,24 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     return flow, ok_g, min_eig
 
 
-@partial(jax.jit, static_argnames=("params",))
-def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
-             params: LKParams = LKParams()):
-    """Track pts_from (in img_from) into img_to.
+def lk_track_pyr(pyr_from: LKPyramid, pyr_to: LKPyramid, pts_from, pts_init,
+                 valid_mask, params: LKParams = LKParams()):
+    """Track pts_from (in pyr_from's image) into pyr_to's image.
 
-    pts_init: [N,2] initial guesses in img_to (projected prediction, or just
+    Core LK over precomputed pyramids (see LKPyramid).  pts_init: [N,2]
+    initial guesses in the `to` image (projected prediction, or just
     pts_from) — the OPTFLOW_USE_INITIAL_FLOW path (Tracker.cpp:251-258).
     valid_mask: [N] features to track.
 
     Returns LKResult(points, status, err).
     """
-    pyr_from = build_pyramid(img_from, params.max_level)
-    pyr_to = build_pyramid(img_to, params.max_level)
-    h, w = img_from.shape
+    h, w = pyr_from.height, pyr_from.width
     half = params.win_size // 2
-    # Pad every level by the window radius so windows never clip the border
-    # (clamped extraction would silently shift patch content and diverge the
-    # iteration — OpenCV handles this with partial-window masking instead).
-    pad = half + 2
+    # Every level is padded by the window radius so windows never clip the
+    # border (clamped extraction would silently shift patch content and
+    # diverge the iteration — OpenCV handles this with partial-window
+    # masking instead).
+    pad = pyr_from.pad
 
     scale_top = 2.0 ** params.max_level
     flow = (pts_init - pts_from) / scale_top
@@ -209,13 +252,14 @@ def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
 
     use_pallas = params.backend == "pallas"
 
-    min_eig = jnp.zeros(pts_from.shape[0], dtype=img_from.dtype)
+    min_eig = jnp.zeros(pts_from.shape[0], dtype=pyr_from.levels[0].dtype)
     for level in range(params.max_level, -1, -1):
         scale = 2.0 ** level
         pts_l = pts_from / scale + pad
-        img_f = jnp.pad(pyr_from[level], pad, mode="edge")
-        img_t = jnp.pad(pyr_to[level], pad, mode="edge")
-        gx, gy = scharr_gradients(img_f)
+        img_f = pyr_from.levels[level]
+        img_t = pyr_to.levels[level]
+        gx = pyr_from.gx[level]
+        gy = pyr_from.gy[level]
         if use_pallas:
             from .pallas.lk_kernel import lk_level_pallas
 
@@ -246,18 +290,41 @@ def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
     return LKResult(points=pts_to, status=status, err=min_eig)
 
 
-@partial(jax.jit, static_argnames=("params", "fb_threshold"))
-def lk_track_bidirectional(img_from, img_to, pts_from, pts_init, valid_mask,
-                           params: LKParams = LKParams(),
-                           fb_threshold: float = 1.5):
+def lk_track_bidirectional_pyr(pyr_from: LKPyramid, pyr_to: LKPyramid,
+                               pts_from, pts_init, valid_mask,
+                               params: LKParams = LKParams(),
+                               fb_threshold: float = 1.5):
     """Forward LK + reverse-flow consistency gate (Tracker.cpp:260-274).
 
     The reverse pass is seeded with the original positions
     (OPTFLOW_USE_INITIAL_FLOW with cornersReverse = cornersFrom) and a track
     survives only if |reverse(forward(p)) - p| <= fb_threshold.
     """
-    fwd = lk_track(img_from, img_to, pts_from, pts_init, valid_mask, params)
-    rev = lk_track(img_to, img_from, fwd.points, pts_from, fwd.status, params)
+    fwd = lk_track_pyr(pyr_from, pyr_to, pts_from, pts_init, valid_mask,
+                       params)
+    rev = lk_track_pyr(pyr_to, pyr_from, fwd.points, pts_from, fwd.status,
+                       params)
     dist = jnp.linalg.norm(rev.points - pts_from, axis=-1)
     status = fwd.status & rev.status & (dist <= fb_threshold)
     return LKResult(points=fwd.points, status=status, err=fwd.err)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def lk_track(img_from, img_to, pts_from, pts_init, valid_mask,
+             params: LKParams = LKParams()):
+    """lk_track_pyr on freshly built pyramids (standalone convenience)."""
+    return lk_track_pyr(
+        build_lk_pyramid(img_from, params), build_lk_pyramid(img_to, params),
+        pts_from, pts_init, valid_mask, params,
+    )
+
+
+@partial(jax.jit, static_argnames=("params", "fb_threshold"))
+def lk_track_bidirectional(img_from, img_to, pts_from, pts_init, valid_mask,
+                           params: LKParams = LKParams(),
+                           fb_threshold: float = 1.5):
+    """lk_track_bidirectional_pyr on freshly built pyramids."""
+    return lk_track_bidirectional_pyr(
+        build_lk_pyramid(img_from, params), build_lk_pyramid(img_to, params),
+        pts_from, pts_init, valid_mask, params, fb_threshold=fb_threshold,
+    )

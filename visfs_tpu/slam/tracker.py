@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from ..core.camera import StereoCamera, triangulate_stereo
 from ..core.lie import mat_apply, mat_inv_se3
 from ..ops.gftt import gftt_detect
-from ..ops.lk import LKParams, lk_track, lk_track_bidirectional
+from ..ops.lk import (LKParams, build_lk_pyramid, lk_track_bidirectional_pyr,
+                      lk_track_pyr)
 from .state import FeatureTable, I32
 
 
@@ -85,12 +86,22 @@ def tracker_step(
     cull_fundamental: bool = False,
     fundamental_threshold: float = 1.0,
     rng_key=None,
+    prev_pyr=None,
 ) -> TrackerOutput:
     Fcap = features.capacity
     W = features.window
     prev_col = W - 2
     cur_col = W - 1
     dtype = left.dtype
+
+    # One pyramid (+ gradients) per unique image, shared by all four LK
+    # passes — the reference likewise shares cv::buildOpticalFlowPyramid
+    # outputs across its calcOpticalFlowPyrLK calls (Tracker.cpp:207-360).
+    # prev_pyr may be passed in (carried state from the previous frame).
+    if prev_pyr is None:
+        prev_pyr = build_lk_pyramid(prev_left, lk_params)
+    left_pyr = build_lk_pyramid(left, lk_params)
+    right_pyr = None if rgbd else build_lk_pyramid(right, lk_params)
 
     # ------------------------------------------------------------------
     # 1. Temporal tracking prev -> cur
@@ -119,12 +130,13 @@ def tracker_step(
     init_uv = jnp.where(good_guess[:, None], guess_uv, prev_uv)
 
     if flow_back:
-        trk = lk_track_bidirectional(
-            prev_left, left, prev_uv, init_uv, prev_mask, lk_params,
+        trk = lk_track_bidirectional_pyr(
+            prev_pyr, left_pyr, prev_uv, init_uv, prev_mask, lk_params,
             fb_threshold=1.5,
         )
     else:
-        trk = lk_track(prev_left, left, prev_uv, init_uv, prev_mask, lk_params)
+        trk = lk_track_pyr(prev_pyr, left_pyr, prev_uv, init_uv, prev_mask,
+                           lk_params)
         if cull_fundamental:
             # Tracker/CullByFundationMatrix path (Tracker.cpp:275-277,
             # 83-96): epipolar RANSAC replaces the reverse-flow gate.
@@ -195,12 +207,13 @@ def tracker_step(
         st_points = uvr_all
     else:
         if flow_back:
-            st = lk_track_bidirectional(
-                left, right, all_uv, all_uv, all_mask, lk_params,
+            st = lk_track_bidirectional_pyr(
+                left_pyr, right_pyr, all_uv, all_uv, all_mask, lk_params,
                 fb_threshold=0.5,
             )
         else:
-            st = lk_track(left, right, all_uv, all_uv, all_mask, lk_params)
+            st = lk_track_pyr(left_pyr, right_pyr, all_uv, all_uv, all_mask,
+                              lk_params)
         st_inb = (
             (st.points[:, 0] >= 0) & (st.points[:, 0] < cam.width)
             & (st.points[:, 1] >= 0) & (st.points[:, 1] < cam.height)
