@@ -160,13 +160,20 @@ def solve_pnp_ransac(
     q, t = qs[best], ts[best]
 
     # --- refinement loop (refineModel equivalent) ------------------------
+    # The reference alternates "converge solvePnP on the inlier set" with a
+    # variance-adaptive threshold update (MultiviewGeometry.cpp:259-273).
+    # As a batched program that nested loop (refine_iterations x full GN)
+    # costs ~50 sequential solver steps per frame; a flat IRLS loop — one GN
+    # step + inlier/threshold update per iteration — converges to the same
+    # fixed point (GN is quadratically convergent near the optimum, and the
+    # threshold update only shrinks the inlier set between steps) at ~3x
+    # fewer sequential steps.
     def refine_body(_, carry):
         q, t, thresh = carry
         errs = _reproj_errors(q, t, pw, uv, fx, fy, cx, cy)
         inl = (errs <= thresh) & match_mask
         w = inl.astype(dtype)
-        q2, t2 = _gn_refine(q, t, pw, uv, w, fx, fy, cx, cy,
-                            settings.gn_iterations)
+        q2, t2 = _gn_refine(q, t, pw, uv, w, fx, fy, cx, cy, 1)
         errs2 = _reproj_errors(q2, t2, pw, uv, fx, fy, cx, cy)
         inl2 = (errs2 <= thresh) & match_mask
         n2 = jnp.sum(inl2)
@@ -189,7 +196,7 @@ def solve_pnp_ransac(
 
     if settings.refine_iterations > 0:
         q, t, _ = jax.lax.fori_loop(
-            0, settings.refine_iterations, refine_body,
+            0, 3 * settings.refine_iterations, refine_body,
             (q, t, jnp.asarray(settings.reproj_error, dtype)),
         )
 

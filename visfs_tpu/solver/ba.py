@@ -249,6 +249,27 @@ def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
     return H, g_p, V, g_l, W, lm_free
 
 
+def _inv3x3(m):
+    """Batched closed-form 3x3 inverse (adjugate / determinant)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
     """Schur-marginalize landmarks, solve poses, back-substitute landmarks."""
     P6 = H.shape[0]
@@ -263,9 +284,11 @@ def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
 
     free = lm_free.astype(dtype)
     # Masked inverse: fixed/unused landmarks get identity (contribution zeroed
-    # by `free`).
+    # by `free`).  Closed-form adjugate inverse: jnp.linalg.inv on [L,3,3]
+    # lowers to a batched-LU custom call costing ~0.2 ms per invocation on
+    # TPU (one per solver iteration); the cofactor form is fused VPU work.
     V_safe = jnp.where(lm_free[:, None, None], Vd, eye3)
-    V_inv = jnp.linalg.inv(V_safe)
+    V_inv = _inv3x3(V_safe)
 
     # S = H - sum_l W_l^T V_l^{-1} W_l ; g_s = g_p - sum_l W_l^T V_l^{-1} g_l.
     # W is [L,3,6P]; W^T V^{-1} -> [L,6P,3].
