@@ -202,8 +202,7 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         tmp = jnp.einsum("npr,nrc->npc", sy, region)  # [N, win, R]
         return jnp.einsum("npc,nqc->npq", tmp, sx)  # [N, win, win]
 
-    def body(carry):
-        flow, active_now, it = carry
+    def one_step(flow, active_now):
         patch_j = sample_patches(flow)
         diff = patch_i - patch_j
         b1 = jnp.sum(diff * gx, axis=(1, 2))
@@ -211,11 +210,22 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         dx = gi11 * b1 + gi12 * b2
         dy = gi12 * b1 + gi22 * b2
         step = jnp.stack([dx, dy], axis=-1)
-        upd = jnp.where(active_now[:, None], step, 0.0)
-        new_flow = flow + upd
+        new_flow = flow + jnp.where(active_now[:, None], step, 0.0)
         step_sq = jnp.sum(step * step, axis=-1)
         still = active_now & (step_sq >= params.eps * params.eps)
-        return new_flow, still, it + 1
+        return new_flow, still
+
+    # Unroll a few iterations per while step: the loop bookkeeping and
+    # kernel-launch overhead (~16 us/iteration) dominates the tiny
+    # per-iteration matmuls, and converged features' updates are masked to
+    # zero so overshooting the eps exit by <unroll boundary is harmless.
+    unroll = 3
+
+    def body(carry):
+        flow, active_now, it = carry
+        for _ in range(unroll):
+            flow, active_now = one_step(flow, active_now)
+        return flow, active_now, it + unroll
 
     def cond(carry):
         _, active_now, it = carry

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.lie import quat_rotate, quat_to_mat, skew
-from ..solver.factors import apply_tangent
+from ..solver.factors import apply_tangent, solve6x6_spd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,7 +42,7 @@ class PnPSettings:
     min_inliers: int = 12  # Estimator/MinInliers
     refine_iterations: int = 5  # Estimator/RefineIterations
     refine_sigma: float = 3.0  # solvePnPRansac default _refineSigma
-    gn_iterations: int = 10  # inner Gauss-Newton iterations per fit
+    gn_iterations: int = 6  # inner Gauss-Newton iterations per hypothesis fit
     perturbation: float = 0.05  # hypothesis start jitter (m / rad)
 
 
@@ -97,7 +97,7 @@ def _gn_refine(q, t, pw, uv, weights, fx, fy, cx, cy, n_iters: int):
         w = weights[:, None, None]
         H = jnp.einsum("nki,nkj->ij", J * w, J) + 1e-6 * jnp.eye(6, dtype=t.dtype)
         g = -jnp.einsum("nki,nk->i", J * w, r)
-        delta = jax.scipy.linalg.solve(H, g, assume_a="pos")
+        delta = solve6x6_spd(H, g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         return apply_tangent(q, t, delta)
 

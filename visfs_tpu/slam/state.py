@@ -115,6 +115,10 @@ class VOState(NamedTuple):
     blocked_valid: jnp.ndarray  # [B] bool
     rng_key: jnp.ndarray  # PRNG key for RANSAC
     laser: LaserState | None = None  # structural None for strategies < 3
+    # Previous left image's LK pyramid, carried so each frame builds only
+    # two pyramids (left, right) instead of three: per level
+    # (padded image, grad_x, grad_y).  Empty tuple = rebuild from prev_left.
+    prev_pyr: tuple = ()
 
 
 class FrameOutput(NamedTuple):
@@ -188,9 +192,24 @@ def init_laser_state(resolution: float, extent_cells: int,
     )
 
 
+def init_pyramid_state(height: int, width: int, pad: int,
+                       max_level: int) -> tuple:
+    """Zero-filled carried LK pyramid matching ops.lk.build_lk_pyramid."""
+    levels = []
+    h, w = height, width
+    for _ in range(max_level + 1):
+        # Three distinct buffers (not one aliased array): the step donates
+        # the state, and donating the same buffer twice is an error.
+        levels.append(tuple(jnp.zeros((h + 2 * pad, w + 2 * pad), F32)
+                            for _ in range(3)))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return tuple(levels)
+
+
 def init_state(height: int, width: int, capacity: int, window: int,
                odom_capacity: int = 64, blocked_capacity: int = 64,
-               seed: int = 0, laser: LaserState | None = None) -> VOState:
+               seed: int = 0, laser: LaserState | None = None,
+               lk_pad: int = 12, lk_max_level: int = 3) -> VOState:
     import jax
 
     return VOState(
@@ -228,4 +247,5 @@ def init_state(height: int, width: int, capacity: int, window: int,
         blocked_valid=jnp.zeros((blocked_capacity,), bool),
         rng_key=jax.random.PRNGKey(seed),
         laser=laser,
+        prev_pyr=init_pyramid_state(height, width, lk_pad, lk_max_level),
     )

@@ -129,6 +129,20 @@ def vo_step_impl(
 
     key, subkey, trk_key = jax.random.split(state.rng_key, 3)
 
+    # Reconstruct the carried previous-left pyramid (built by last frame's
+    # tracker_step) so only the current left/right pyramids are computed.
+    prev_pyr = None
+    if state.prev_pyr:
+        from ..ops.lk import LKPyramid
+
+        h, w = state.prev_left.shape
+        prev_pyr = LKPyramid(
+            levels=tuple(lv[0] for lv in state.prev_pyr),
+            gx=tuple(lv[1] for lv in state.prev_pyr),
+            gy=tuple(lv[2] for lv in state.prev_pyr),
+            height=h, width=w, pad=lk_params.win_size // 2 + 2,
+        )
+
     trk = tracker_step(
         features, state.prev_left, state.prev_right, left, right,
         state.has_prev, guess, state.blocked_uv, state.blocked_valid,
@@ -140,6 +154,7 @@ def vo_step_impl(
         rgbd=(cfg_est.sensor_strategy == 1),
         cull_fundamental=cull_fund, fundamental_threshold=fund_thresh,
         rng_key=trk_key,
+        prev_pyr=prev_pyr,
     )
     est = estimator_step(
         state._replace(window=window), trk, stamp, wheel_pose, wheel_ok,
@@ -176,6 +191,7 @@ def vo_step_impl(
         blocked_valid=est.blocked_valid,
         rng_key=key,
         laser=est.laser,
+        prev_pyr=trk.left_pyr,
     )
 
     out = FrameOutput(
@@ -263,6 +279,8 @@ class System:
             window=self.cfg.local_map_map_size + 1,
             seed=self._seed,
             laser=laser,
+            lk_pad=self.lk_params.win_size // 2 + 2,
+            lk_max_level=self.lk_params.max_level,
         )
 
     # -- reference System::inputPrimarySensorData -------------------------

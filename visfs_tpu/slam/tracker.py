@@ -45,6 +45,7 @@ from .state import FeatureTable, I32
 
 class TrackerOutput(NamedTuple):
     features: FeatureTable  # table with current-frame observations written
+    left_pyr: tuple  # ((img, gx, gy) per level) — carried to the next frame
     temporal_mask: jnp.ndarray  # [F] tracked from prev frame (pre-stereo)
     temporal_uv: jnp.ndarray  # [F, 2] current-frame uv of temporal matches
     prev_p_robot: jnp.ndarray  # [F, 3] prev-frame robot-frame 3D points
@@ -301,6 +302,10 @@ def tracker_step(
     )
     return TrackerOutput(
         features=new_features,
+        left_pyr=tuple(
+            (left_pyr.levels[i], left_pyr.gx[i], left_pyr.gy[i])
+            for i in range(len(left_pyr.levels))
+        ),
         temporal_mask=temporal_mask,
         temporal_uv=temporal_uv,
         prev_p_robot=p_prev_robot,

@@ -39,6 +39,7 @@ from .factors import (
     huber_weight,
     pose_link_jacobians,
     pose_link_residual,
+    inv3x3,
     stereo_jacobians,
     stereo_residual,
 )
@@ -249,27 +250,6 @@ def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
     return H, g_p, V, g_l, W, lm_free
 
 
-def _inv3x3(m):
-    """Batched closed-form 3x3 inverse (adjugate / determinant)."""
-    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
-            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
-            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj * inv_det[..., None, None]
-
-
 def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
     """Schur-marginalize landmarks, solve poses, back-substitute landmarks."""
     P6 = H.shape[0]
@@ -288,7 +268,7 @@ def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
     # lowers to a batched-LU custom call costing ~0.2 ms per invocation on
     # TPU (one per solver iteration); the cofactor form is fused VPU work.
     V_safe = jnp.where(lm_free[:, None, None], Vd, eye3)
-    V_inv = _inv3x3(V_safe)
+    V_inv = inv3x3(V_safe)
 
     # S = H - sum_l W_l^T V_l^{-1} W_l ; g_s = g_p - sum_l W_l^T V_l^{-1} g_l.
     # W is [L,3,6P]; W^T V^{-1} -> [L,6P,3].
@@ -330,7 +310,10 @@ def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
     use_lm = jnp.asarray(settings.use_levenberg)
 
     def body(_, carry):
-        pose_q, pose_t, lm_pos, lam = carry
+        # chi2_cur is carried: the current state's cost only changes when a
+        # step is accepted (to chi2_new), so re-evaluating it from scratch
+        # every iteration would double the residual-assembly work.
+        pose_q, pose_t, lm_pos, lam, chi2_cur = carry
         H, g_p, V, g_l, W, lm_free = _gn_normal_equations(
             problem, lm_pos, pose_q, pose_t, active_mask, settings
         )
@@ -340,23 +323,24 @@ def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
         cand_q, cand_t, cand_lm = _apply_updates(
             pose_q, pose_t, lm_pos, dx_p, dx_l, problem.pose_fixed
         )
-        chi2_old = _robust_chi2_total(
-            problem, lm_pos, pose_q, pose_t, active_mask, settings
-        )
         chi2_new = _robust_chi2_total(
             problem, cand_lm, cand_q, cand_t, active_mask, settings
         )
-        accept = jnp.isfinite(chi2_new) & (chi2_new <= chi2_old)
+        accept = jnp.isfinite(chi2_new) & (chi2_new <= chi2_cur)
         accept = accept | (~use_lm)  # plain GN always steps
         pose_q = jnp.where(accept, cand_q, pose_q)
         pose_t = jnp.where(accept, cand_t, pose_t)
         lm_pos = jnp.where(accept, cand_lm, lm_pos)
+        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
-        return pose_q, pose_t, lm_pos, lam
+        return pose_q, pose_t, lm_pos, lam, chi2_cur
 
+    chi2_0 = _robust_chi2_total(
+        problem, lm_pos, pose_q, pose_t, active_mask, settings
+    )
     init = (pose_q, pose_t, lm_pos,
-            jnp.asarray(settings.init_lambda, dtype=pose_t.dtype))
-    pose_q, pose_t, lm_pos, _ = jax.lax.fori_loop(0, num_iters, body, init)
+            jnp.asarray(settings.init_lambda, dtype=pose_t.dtype), chi2_0)
+    pose_q, pose_t, lm_pos, _, _ = jax.lax.fori_loop(0, num_iters, body, init)
     return pose_q, pose_t, lm_pos
 
 

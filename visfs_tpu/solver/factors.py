@@ -169,3 +169,51 @@ def huber_weight(chi2, delta):
     e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
     w = jnp.where(chi2 > delta * delta, delta / e, 1.0)
     return jnp.where(delta > 0.0, w, jnp.ones_like(w))
+
+
+def inv3x3(m):
+    """Batched closed-form 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on small batched blocks lowers to a batched-LU custom
+    call with a ~0.2 ms latency floor per invocation on TPU; the cofactor
+    form is plain fused vector work.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def solve6x6_spd(H, g):
+    """Batched 6x6 SPD solve via 3x3-block Schur complement.
+
+    Closed-form inverse of the diagonal blocks (inv3x3) replaces the
+    Cholesky custom call that jax.scipy.linalg.solve(assume_a='pos') emits —
+    one per solver iteration inside PnP/GN loops.  H: [..., 6, 6] (assumed
+    symmetric positive definite, e.g. J^T J + damping), g: [..., 6].
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    Ai = inv3x3(A)
+    AiB = Ai @ B
+    S = D - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = inv3x3(S)
+    g1 = g[..., :3, None]
+    g2 = g[..., 3:, None]
+    y2 = Si @ (g2 - jnp.swapaxes(AiB, -1, -2) @ g1)
+    y1 = Ai @ g1 - AiB @ y2
+    return jnp.concatenate([y1, y2], axis=-2)[..., 0]
