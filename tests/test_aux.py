@@ -116,3 +116,42 @@ class TestInterface:
         assert info.inliers >= 12
         assert abs(info.interval - 0.1) < 1e-3
         assert np.isfinite(odom.position).all()
+
+
+class TestLaserScanConversion:
+    """MsgConversion::laserScanToTimedPointCloudWithIntensities parity
+    (MsgConversion.cpp:156-197)."""
+
+    def test_polar_to_cartesian_and_gating(self):
+        import numpy as np
+
+        from visfs_tpu.io.interface import laser_scan_to_points
+
+        ranges = [1.0, 0.05, 2.0, 50.0]  # 2nd below min, 4th above max
+        pc = laser_scan_to_points(
+            ranges, angle_min=0.0, angle_increment=np.pi / 2,
+            range_min=0.1, range_max=10.0, stamp=100.0,
+            time_increment=0.001,
+        )
+        assert pc.points.shape == (2, 3)
+        np.testing.assert_allclose(pc.points[0], [1.0, 0.0, 0.0], atol=1e-6)
+        # 3rd ray at angle pi -> (-2, 0, 0)
+        np.testing.assert_allclose(pc.points[1], [-2.0, 0.0, 0.0],
+                                   atol=1e-6)
+        # newest point time 0, cloud stamp advanced by its offset
+        assert pc.times[-1] == 0.0
+        assert pc.time == 100.0 + 0.002
+        assert pc.times[0] == -0.002
+
+    def test_intensities_passthrough_or_zero(self):
+        import numpy as np
+
+        from visfs_tpu.io.interface import laser_scan_to_points
+
+        pc = laser_scan_to_points(
+            [1.0, 2.0], 0.0, 0.1, 0.1, 10.0, 0.0,
+            intensities=[5.0, 7.0],
+        )
+        np.testing.assert_allclose(pc.intensities, [5.0, 7.0])
+        pc2 = laser_scan_to_points([1.0, 2.0], 0.0, 0.1, 0.1, 10.0, 0.0)
+        np.testing.assert_allclose(pc2.intensities, [0.0, 0.0])

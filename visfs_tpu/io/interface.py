@@ -94,3 +94,49 @@ def frame_output_to_messages(out, prev_stamp: Optional[float] = None):
         interval=(stamp - prev_stamp) if prev_stamp is not None else 0.0,
     )
     return odom, info
+
+
+@dataclasses.dataclass
+class TimedPointCloud:
+    """TimedPointCloudWithIntensities equivalent (Sensor/PointCloud.h:73-79)."""
+
+    points: "np.ndarray"  # [N, 3] sensor-frame hits
+    times: "np.ndarray"  # [N] per-point time offsets (<= 0, newest = 0)
+    intensities: "np.ndarray"  # [N]
+    time: float  # acquisition time of the newest point
+    origin: "np.ndarray"  # [3]
+
+
+def laser_scan_to_points(ranges, angle_min, angle_increment, range_min,
+                         range_max, stamp, time_increment=0.0,
+                         intensities=None):
+    """Planar laser scan -> timed point cloud.
+
+    Host-side equivalent of MsgConversion::laserScanToTimedPointCloudWith-
+    Intensities (Interface/ROS/src/MsgConversion.cpp:156-197): range-gated
+    polar-to-cartesian conversion around +Z, per-point relative times
+    shifted so the newest point is 0 and the cloud stamp is the acquisition
+    time of the last valid return.
+    """
+    ranges = np.asarray(ranges, np.float64)
+    n = len(ranges)
+    angles = angle_min + angle_increment * np.arange(n)
+    valid = (ranges >= range_min) & (ranges <= range_max)
+    r = ranges[valid]
+    a = angles[valid]
+    pts = np.stack([r * np.cos(a), r * np.sin(a), np.zeros_like(r)], axis=-1)
+    times = (time_increment * np.arange(n))[valid]
+    if intensities is not None and len(intensities) == n:
+        inten = np.asarray(intensities, np.float32)[valid]
+    else:
+        inten = np.zeros(len(r), np.float32)
+    stamp_out = float(stamp)
+    if len(times):
+        duration = float(times[-1])
+        stamp_out += duration
+        times = times - duration
+    return TimedPointCloud(
+        points=pts.astype(np.float32), times=times.astype(np.float32),
+        intensities=inten, time=stamp_out,
+        origin=np.zeros(3, np.float32),
+    )

@@ -27,7 +27,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..solver import ba
-from ..solver.factors import huber_weight
+from ..solver.factors import huber_weight, inv3x3
 
 
 def _stereo_blocks(problem: ba.BAProblem, lm_pos, pose_q, pose_t, active_mask,
@@ -119,7 +119,7 @@ def _make_gn_step(settings: ba.BASettings, mesh: Mesh, axis: str,
         Vd = V + lam * eye3 * jnp.diagonal(V, axis1=-2, axis2=-1)[:, None, :] \
             + 1e-8 * eye3
         V_safe = jnp.where(lm_free[:, None, None], Vd, eye3)
-        V_inv = jnp.linalg.inv(V_safe)
+        V_inv = inv3x3(V_safe)  # closed form: no batched-LU custom call
 
         WtVi = jnp.einsum("laj,lab->ljb", W, V_inv * free[:, None, None])
         S_local = H_s - jnp.einsum("ljb,lbk->jk", WtVi, W)

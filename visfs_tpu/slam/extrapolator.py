@@ -40,6 +40,22 @@ def _vel_motion_model(delta_t, base6, t1, t2, pose1_6, pose2_6):
     return base6 + rate * delta_t
 
 
+def acc_motion_model(delta_t, direction, base6, v1_6, v2_6):
+    """Constant-acceleration xyzrpy prediction (accMotionModel,
+    Extrapolator.cpp:124-170).
+
+    Kept for inventory parity: both reference call sites are commented out
+    (Extrapolator.cpp:218,252 — velMotionModel is used instead), so this is
+    not on the live path there either.  direction True = second-last ->
+    last; False integrates backwards with negated v2/acceleration.
+    """
+    acc = v2_6 - v1_6
+    half = 0.5 * delta_t
+    fwd = base6 + v1_6 * delta_t + acc * half
+    bwd = base6 - v2_6 * delta_t - acc * half
+    return jnp.where(direction, fwd, bwd)
+
+
 def predict_align_pose(buf: OdomBuffer, stamp, wheel_freq: int):
     """Aligned global wheel pose at `stamp` (predictAlignPose equivalent).
 
@@ -47,6 +63,14 @@ def predict_align_pose(buf: OdomBuffer, stamp, wheel_freq: int):
     spacing passes the reference's timing sanity checks
     (Extrapolator.cpp:203-219: gap <= 2/freq between samples for
     interpolation, <= 1/freq for extrapolation past the last sample).
+
+    Known-quirk note: the reference's 2-sample extrapolation branch
+    (Extrapolator.cpp:215-221) evaluates velMotionModel with
+    base=secondLastPose but deltaTime measured from lastTime —
+    under-extrapolating by one sample interval; its 3-sample overload
+    (Extrapolator.cpp:249-253) uses base=lastPose, which equals
+    base=secondLastPose with deltaTime from secondLastTime.  We use the
+    consistent (3-sample-overload) math for both branches.
     """
     score = jnp.where(buf.valid, jnp.abs(buf.stamp - stamp), jnp.inf)
     best = jnp.argmin(score)
