@@ -101,3 +101,85 @@ class TestMappingBackend:
         added = sum(backend.maybe_add(o) for o in outs)
         assert added >= 1
         assert int(backend.graph.n_nodes) == added
+
+
+class TestLoopVerification:
+    """verify_loop: NCC patch matching + PnP relative pose between
+    keyframe snapshots (the geometric-verification role rtabmap plays
+    downstream of the reference)."""
+
+    def test_recovers_relative_pose_and_rejects_junk(self, mesh):
+        import jax.numpy as jnp
+
+        from visfs_tpu.io.sim import generate_sequence
+        from visfs_tpu.ops.pnp import PnPSettings
+        from visfs_tpu.slam.mapping import verify_loop
+        from visfs_tpu.slam.system import System
+
+        seq = generate_sequence(n_frames=8, n_points=500, width=200,
+                                height=150, motion="arc", seed=5)
+        cam = seq.camera
+        s = System({"Tracker/MaxFeatures": 80, "Tracker/MinDistance": 8,
+                    "Optimizer/Iterations": 8})
+        s.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+               float(cam.baseline), width=cam.width, height=cam.height)
+        snaps, poses = [], []
+        for k in range(6):
+            s.input_primary_sensor_data(float(seq.stamps[k]), seq.left[k],
+                                        seq.right[k])
+            out = s.output_odometry_info()
+            snaps.append(s.keyframe_snapshot(max_kp=48))
+            poses.append(np.asarray(seq.poses[k]))
+
+        i, j = 2, 5
+        rel, ok, n_inl = verify_loop(
+            snaps[i], snaps[j], s.camera, jax.random.PRNGKey(0),
+            PnPSettings(min_inliers=10),
+        )
+        assert bool(ok) and int(n_inl) >= 10
+        rel_gt = np.linalg.inv(poses[i]) @ poses[j]
+        np.testing.assert_allclose(np.asarray(rel)[:3, 3], rel_gt[:3, 3],
+                                   atol=0.05)
+        # rotation error
+        dR = np.asarray(rel)[:3, :3].T @ rel_gt[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 3.0
+
+        # junk pair: snapshot vs itself with scrambled patches must fail
+        bad = snaps[j]._replace(
+            patch=jnp.asarray(
+                np.random.default_rng(0).normal(size=snaps[j].patch.shape),
+                jnp.float32),
+        )
+        _, ok_bad, n_bad = verify_loop(
+            snaps[i], bad, s.camera, jax.random.PRNGKey(1),
+            PnPSettings(min_inliers=10),
+        )
+        assert (not bool(ok_bad)) or int(n_bad) < 10
+
+    def test_close_loops_end_to_end(self, mesh):
+        from visfs_tpu.io.sim import generate_sequence
+        from visfs_tpu.slam.mapping import MappingBackend
+        from visfs_tpu.slam.system import System
+
+        seq = generate_sequence(n_frames=8, n_points=500, width=200,
+                                height=150, motion="arc", seed=5)
+        cam = seq.camera
+        s = System({"Tracker/MaxFeatures": 80, "Tracker/MinDistance": 8,
+                    "Optimizer/Iterations": 8})
+        s.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+               float(cam.baseline), width=cam.width, height=cam.height)
+        backend = MappingBackend(mesh, max_nodes=16, max_edges=64)
+        for k in range(6):
+            s.input_primary_sensor_data(float(seq.stamps[k]), seq.left[k],
+                                        seq.right[k])
+            out = s.output_odometry_info()
+            backend.add_keyframe(np.asarray(out.pose), float(k),
+                                 snapshot=s.keyframe_snapshot(max_kp=48))
+        # arc stays within a small radius -> early/late frames are
+        # proximity candidates once min_gap allows
+        added = backend.close_loops(s.camera, radius=5.0, min_gap=3,
+                                    min_inliers=10)
+        assert added >= 1
+        chi2 = backend.optimize(iterations=5, cg_iters=16)
+        assert np.isfinite(chi2)

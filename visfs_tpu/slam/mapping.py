@@ -15,6 +15,7 @@ T1 * T2^-1 == meas with T = Trw).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -177,18 +178,19 @@ class MappingBackend:
         self.mesh = mesh
         self.graph = init_graph(max_nodes, max_edges)
         self.odom_info = odom_info
+        self.snapshots: dict[int, KeyframeSnapshot] = {}
 
-    def maybe_add(self, frame_output) -> bool:
+    def maybe_add(self, frame_output, snapshot=None) -> bool:
         """Add a keyframe from a FrameOutput when it is one (and tracked)."""
         if bool(frame_output.keyframe) and not bool(frame_output.lost):
-            self.graph = add_keyframe(
-                self.graph, jnp.asarray(frame_output.pose),
-                jnp.float32(frame_output.stamp), self.odom_info,
-            )
+            self.add_keyframe(frame_output.pose, frame_output.stamp,
+                              snapshot=snapshot)
             return True
         return False
 
-    def add_keyframe(self, pose, stamp):
+    def add_keyframe(self, pose, stamp, snapshot=None):
+        if snapshot is not None:
+            self.snapshots[int(self.graph.n_nodes)] = snapshot
         self.graph = add_keyframe(self.graph, jnp.asarray(pose),
                                   jnp.float32(stamp), self.odom_info)
 
@@ -202,6 +204,36 @@ class MappingBackend:
         pairs, valid = propose_loop_candidates(self.graph, radius, min_gap)
         return np.asarray(pairs)[np.asarray(valid)]
 
+    def close_loops(self, cam, radius: float = 2.0, min_gap: int = 10,
+                    min_inliers: int = 12, min_ncc: float = 0.6,
+                    pnp_settings=None, seed: int = 0) -> int:
+        """Propose, geometrically verify, and insert loop closures.
+
+        Runs verify_loop (NCC matching + PnP RANSAC) on every proximity
+        candidate whose endpoints both carry snapshots; accepted closures
+        (>= min_inliers) become graph edges with information scaled by the
+        inlier count.  Returns the number of closures added.
+        """
+        from ..ops.pnp import PnPSettings
+
+        settings = pnp_settings or PnPSettings(min_inliers=min_inliers)
+        key = jax.random.PRNGKey(seed)
+        added = 0
+        for (i, j) in self.loop_candidates(radius, min_gap):
+            si = self.snapshots.get(int(i))
+            sj = self.snapshots.get(int(j))
+            if si is None or sj is None:
+                continue
+            key, sub = jax.random.split(key)
+            rel, ok, n_inl = verify_loop(si, sj, cam, sub, settings,
+                                         min_ncc=min_ncc)
+            if bool(ok) and int(n_inl) >= min_inliers:
+                self.add_loop_closure(
+                    int(i), int(j), rel, info=1e3 * float(n_inl)
+                )
+                added += 1
+        return added
+
     def optimize(self, iterations: int = 10, cg_iters: int = 50):
         self.graph, chi2 = optimize_graph(
             self.graph, self.mesh, iterations=iterations, cg_iters=cg_iters
@@ -213,3 +245,97 @@ class MappingBackend:
         n = int(self.graph.n_nodes)
         Twr = se3_matrix(self.graph.pose_q[:n], self.graph.pose_t[:n])
         return np.asarray(Twr)
+
+
+# ---------------------------------------------------------------------------
+# Loop-closure verification (the role rtabmap plays outside the reference):
+# keyframe feature snapshots matched by normalized patch correlation, then a
+# PnP-RANSAC relative-pose solve with an inlier gate.
+# ---------------------------------------------------------------------------
+
+
+class KeyframeSnapshot(NamedTuple):
+    """Per-keyframe appearance record for loop verification."""
+
+    uv: jnp.ndarray  # [M, 2] left-image pixels
+    p_robot: jnp.ndarray  # [M, 3] robot-frame 3D points
+    patch: jnp.ndarray  # [M, S*S] zero-mean unit-norm intensity patches
+    valid: jnp.ndarray  # [M] bool
+
+
+@partial(jax.jit, static_argnames=("max_kp", "patch_size"))
+def snapshot_features(features, left_img, cam, max_kp: int = 64,
+                      patch_size: int = 8):
+    """Build a KeyframeSnapshot from the live feature table + left image.
+
+    Selects the `max_kp` longest-tracked features with a current
+    observation and valid depth, and extracts normalized patches around
+    them (an appearance descriptor in the spirit of the intensity windows
+    the KLT front-end already tracks).
+    """
+    from ..ops.image import extract_patch_bilinear
+    from .tracker import backproject
+
+    cur = features.uv.shape[1] - 1
+    ok = features.valid & features.obs_mask[:, cur] \
+        & (features.depth[:, cur] > 0)
+    score = jnp.where(ok, features.track_cnt, -1)
+    _, idx = jax.lax.top_k(score, max_kp)
+    sel_ok = score[idx] >= 0
+    uv = features.uv[idx, cur]
+    depth = features.depth[idx, cur]
+    p_robot = backproject(cam, uv, depth)
+
+    patches = jax.vmap(
+        lambda c: extract_patch_bilinear(left_img, c, patch_size)
+    )(uv).reshape(max_kp, patch_size * patch_size)
+    mean = jnp.mean(patches, axis=1, keepdims=True)
+    cen = patches - mean
+    norm = jnp.linalg.norm(cen, axis=1, keepdims=True)
+    patches = cen / jnp.maximum(norm, 1e-6)
+    return KeyframeSnapshot(uv=uv, p_robot=p_robot, patch=patches,
+                            valid=sel_ok)
+
+
+@partial(jax.jit, static_argnames=("settings", "min_ncc", "ratio"))
+def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
+                rng_key, settings, min_ncc: float = 0.6,
+                ratio: float = 0.95):
+    """Geometric verification of a loop candidate (i, j).
+
+    Matches snapshots by normalized cross-correlation (mutual nearest +
+    ratio test), then solves PnP RANSAC with i's robot-frame points against
+    j's pixels.  Returns (rel [4,4] = T_ri_rj, ok, n_inliers).
+    """
+    from ..core.lie import mat_inv_se3, mat_to_quat
+    from ..ops import pnp
+
+    M = snap_i.uv.shape[0]
+    ncc = snap_i.patch @ snap_j.patch.T  # [M, M]
+    pairmask = snap_i.valid[:, None] & snap_j.valid[None, :]
+    ncc = jnp.where(pairmask, ncc, -2.0)
+
+    best_j = jnp.argmax(ncc, axis=1)  # per-i best j
+    row = jnp.take_along_axis(ncc, best_j[:, None], axis=1)[:, 0]
+    row2 = jnp.max(
+        jnp.where(jax.nn.one_hot(best_j, M, dtype=bool), -2.0, ncc), axis=1
+    )
+    mutual = jnp.argmax(ncc, axis=0)[best_j] == jnp.arange(M)
+    match_ok = (
+        snap_i.valid & mutual & (row >= min_ncc)
+        & (row2 <= ratio * row)
+    )
+
+    # Correspondences: i's 3D points vs j's matched pixels.
+    uv_j = snap_j.uv[best_j]
+    # Camera-from-world guess = identity camera at i's frame mapped through
+    # the image/robot permutation (same convention as the estimator).
+    guess_cam = mat_inv_se3(cam.t_ri)
+    q0 = mat_to_quat(guess_cam[:3, :3])
+    t0 = guess_cam[:3, 3]
+    res = pnp.solve_pnp_ransac(
+        snap_i.p_robot, uv_j, match_ok, q0, t0,
+        cam.fx, cam.fy, cam.cx, cam.cy, rng_key, settings,
+    )
+    rel = mat_inv_se3(cam.t_ri @ se3_matrix(res.q, res.t))
+    return rel, res.ok, res.n_inliers

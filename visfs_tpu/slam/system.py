@@ -338,6 +338,18 @@ class System:
             return jax.device_get(self._results.popleft())
         return None
 
+    def keyframe_snapshot(self, max_kp: int = 64, patch_size: int = 8):
+        """Appearance snapshot of the latest processed frame's features,
+        for loop-closure verification in the mapping back-end
+        (slam/mapping.py verify_loop)."""
+        from .mapping import snapshot_features
+
+        assert self.state is not None, "call init() first"
+        return snapshot_features(
+            self.state.features, self.state.prev_left, self.camera,
+            max_kp=max_kp, patch_size=patch_size,
+        )
+
     def drain_outputs(self):
         """Fetch every finished frame result in one host transfer."""
         self._collect_pending()
