@@ -112,7 +112,6 @@ class TestLoopVerification:
         import jax.numpy as jnp
 
         from visfs_tpu.io.sim import generate_sequence
-        from visfs_tpu.ops.pnp import PnPSettings
         from visfs_tpu.slam.mapping import verify_loop
         from visfs_tpu.slam.system import System
 
@@ -134,7 +133,7 @@ class TestLoopVerification:
         i, j = 2, 5
         rel, ok, n_inl = verify_loop(
             snaps[i], snaps[j], s.camera, jax.random.PRNGKey(0),
-            PnPSettings(min_inliers=10),
+            min_inliers=10,
         )
         assert bool(ok) and int(n_inl) >= 10
         rel_gt = np.linalg.inv(poses[i]) @ poses[j]
@@ -152,8 +151,7 @@ class TestLoopVerification:
                 jnp.float32),
         )
         _, ok_bad, n_bad = verify_loop(
-            snaps[i], bad, s.camera, jax.random.PRNGKey(1),
-            PnPSettings(min_inliers=10),
+            snaps[i], bad, s.camera, jax.random.PRNGKey(1), min_inliers=10,
         )
         assert (not bool(ok_bad)) or int(n_bad) < 10
 
@@ -180,6 +178,51 @@ class TestLoopVerification:
         # proximity candidates once min_gap allows
         added = backend.close_loops(s.camera, radius=5.0, min_gap=3,
                                     min_inliers=10)
+        # idempotent: decided pairs are never re-added
+        assert backend.close_loops(s.camera, radius=5.0, min_gap=3,
+                                   min_inliers=10) == 0
         assert added >= 1
         chi2 = backend.optimize(iterations=5, cg_iters=16)
         assert np.isfinite(chi2)
+
+
+class TestRigid3D:
+    """ops/rigid.py: Kabsch + RANSAC absolute orientation."""
+
+    def test_recovers_transform_under_outliers(self):
+        import jax.numpy as jnp
+
+        from visfs_tpu.core.lie import xyzrpy_to_mat
+        from visfs_tpu.ops.rigid import estimate_rigid_3d
+
+        rng = np.random.default_rng(7)
+        T = np.asarray(xyzrpy_to_mat(*[jnp.float32(v) for v in
+                                       (0.4, -0.2, 0.1, 0.1, -0.2, 1.2)]))
+        p_j = rng.uniform(-2, 2, (40, 3)).astype(np.float32)
+        p_i = (p_j @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        # corrupt 30% with gross outliers
+        bad = rng.choice(40, 12, replace=False)
+        p_i[bad] += rng.uniform(1, 3, (12, 3)).astype(np.float32)
+        res = estimate_rigid_3d(
+            jnp.asarray(p_i), jnp.asarray(p_j),
+            jnp.ones(40, bool), jax.random.PRNGKey(0),
+        )
+        assert bool(res.ok)
+        np.testing.assert_allclose(np.asarray(res.rotation), T[:3, :3],
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.translation), T[:3, 3],
+                                   atol=1e-3)
+        # the corrupted rows are flagged as outliers
+        assert not np.any(np.asarray(res.inliers)[bad])
+
+    def test_rejects_pure_noise(self):
+        import jax.numpy as jnp
+
+        from visfs_tpu.ops.rigid import estimate_rigid_3d
+
+        rng = np.random.default_rng(8)
+        a = jnp.asarray(rng.uniform(-2, 2, (30, 3)), jnp.float32)
+        b = jnp.asarray(rng.uniform(-2, 2, (30, 3)), jnp.float32)
+        res = estimate_rigid_3d(a, b, jnp.ones(30, bool),
+                                jax.random.PRNGKey(1), min_inliers=8)
+        assert not bool(res.ok)

@@ -67,9 +67,17 @@ class LKPyramid(NamedTuple):
     pad: int
 
 
+def lk_pad(params: LKParams) -> int:
+    """Border padding of LK pyramid levels (window radius + interpolation
+    guard).  Single source of truth — the carried-pyramid state
+    (slam/state.init_pyramid_state) and the pyramid reconstruction in
+    slam/system must size buffers with exactly this value."""
+    return params.win_size // 2 + 2
+
+
 def build_lk_pyramid(img, params: LKParams = LKParams()) -> LKPyramid:
     """Padded pyramid + gradients for use as either `from` or `to` image."""
-    pad = params.win_size // 2 + 2
+    pad = lk_pad(params)
     levels, gxs, gys = [], [], []
     for im in build_pyramid(img, params.max_level):
         imp = jnp.pad(im, pad, mode="edge")
@@ -217,9 +225,12 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
 
     # Unroll a few iterations per while step: the loop bookkeeping and
     # kernel-launch overhead (~16 us/iteration) dominates the tiny
-    # per-iteration matmuls, and converged features' updates are masked to
-    # zero so overshooting the eps exit by <unroll boundary is harmless.
-    unroll = 3
+    # per-iteration matmuls.  Converged features' updates are masked to
+    # zero, so a coarser eps-exit granularity is harmless; the iteration
+    # CAP stays exact — the while loop runs the largest multiple of
+    # `unroll` below it and the remainder is peeled afterwards.
+    unroll = min(3, max(params.iterations, 1))
+    main_iters = (params.iterations // unroll) * unroll
 
     def body(carry):
         flow, active_now, it = carry
@@ -229,11 +240,13 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
 
     def cond(carry):
         _, active_now, it = carry
-        return (it < params.iterations) & jnp.any(active_now)
+        return (it < main_iters) & jnp.any(active_now)
 
-    flow, _, _ = jax.lax.while_loop(
+    flow, active_now, _ = jax.lax.while_loop(
         cond, body, (flow, active & ok_g, jnp.zeros((), jnp.int32))
     )
+    for _ in range(params.iterations - main_iters):
+        flow, active_now = one_step(flow, active_now)
     return flow, ok_g, min_eig
 
 

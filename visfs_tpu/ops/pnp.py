@@ -43,6 +43,10 @@ class PnPSettings:
     refine_iterations: int = 5  # Estimator/RefineIterations
     refine_sigma: float = 3.0  # solvePnPRansac default _refineSigma
     gn_iterations: int = 6  # inner Gauss-Newton iterations per hypothesis fit
+    # IRLS steps per refineModel round: the reference converges a full
+    # solvePnP inside each round; ~3 single-GN IRLS steps reach the same
+    # fixed point, so total refine steps = refine_iterations * this.
+    refine_steps_per_round: int = 3
     perturbation: float = 0.05  # hypothesis start jitter (m / rad)
 
 
@@ -196,7 +200,8 @@ def solve_pnp_ransac(
 
     if settings.refine_iterations > 0:
         q, t, _ = jax.lax.fori_loop(
-            0, 3 * settings.refine_iterations, refine_body,
+            0, settings.refine_steps_per_round * settings.refine_iterations,
+            refine_body,
             (q, t, jnp.asarray(settings.reproj_error, dtype)),
         )
 

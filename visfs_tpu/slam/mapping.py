@@ -62,49 +62,52 @@ def init_graph(max_nodes: int = 1024, max_edges: int = 4096) -> KeyframeGraph:
 def add_keyframe(g: KeyframeGraph, pose: jnp.ndarray, stamp,
                  odom_info: float = 1e4) -> KeyframeGraph:
     """Append a keyframe (Twr 4x4); auto-links it to the previous one with
-    an odometry edge measured from the current estimates."""
+    an odometry edge measured from the current estimates.
+
+    At capacity the insert is a no-op and the counters stay clamped (the
+    scatter would be dropped anyway; clamping keeps n_nodes/n_edges honest
+    for host-side bookkeeping)."""
+    N = g.pose_q.shape[0]
     n = g.n_nodes
     q = mat_to_quat(pose[:3, :3])
     t = pose[:3, 3]
     g = g._replace(
-        pose_q=g.pose_q.at[n].set(q),
-        pose_t=g.pose_t.at[n].set(t),
-        stamp=g.stamp.at[n].set(stamp),
-        valid=g.valid.at[n].set(True),
-        n_nodes=n + 1,
+        pose_q=g.pose_q.at[n].set(q, mode="drop"),
+        pose_t=g.pose_t.at[n].set(t, mode="drop"),
+        stamp=g.stamp.at[n].set(stamp, mode="drop"),
+        valid=g.valid.at[n].set(n < N, mode="drop"),
+        n_nodes=jnp.minimum(n + 1, N),
     )
 
     def with_edge(g):
         prev = se3_matrix(g.pose_q[n - 1], g.pose_t[n - 1])
         rel = mat_inv_se3(prev) @ pose
-        e = g.n_edges
-        return g._replace(
-            edge_i=g.edge_i.at[e].set(n - 1),
-            edge_j=g.edge_j.at[e].set(n),
-            edge_q=g.edge_q.at[e].set(mat_to_quat(rel[:3, :3])),
-            edge_t=g.edge_t.at[e].set(rel[:3, 3]),
-            edge_info=g.edge_info.at[e].set(odom_info),
-            edge_valid=g.edge_valid.at[e].set(True),
-            n_edges=e + 1,
-        )
+        return _append_edge(g, n - 1, n, mat_to_quat(rel[:3, :3]),
+                            rel[:3, 3], odom_info)
 
-    return jax.lax.cond(n > 0, with_edge, lambda g: g, g)
+    return jax.lax.cond((n > 0) & (n < N), with_edge, lambda g: g, g)
+
+
+def _append_edge(g: KeyframeGraph, i, j, rel_q, rel_t, info):
+    E = g.edge_i.shape[0]
+    e = g.n_edges
+    return g._replace(
+        edge_i=g.edge_i.at[e].set(i, mode="drop"),
+        edge_j=g.edge_j.at[e].set(j, mode="drop"),
+        edge_q=g.edge_q.at[e].set(rel_q, mode="drop"),
+        edge_t=g.edge_t.at[e].set(rel_t, mode="drop"),
+        edge_info=g.edge_info.at[e].set(info, mode="drop"),
+        edge_valid=g.edge_valid.at[e].set(e < E, mode="drop"),
+        n_edges=jnp.minimum(e + 1, E),
+    )
 
 
 @jax.jit
 def add_loop_closure(g: KeyframeGraph, i, j, rel: jnp.ndarray,
                      info: float = 1e4) -> KeyframeGraph:
-    """Add a loop-closure edge: rel = measured T_ri_rj (4x4)."""
-    e = g.n_edges
-    return g._replace(
-        edge_i=g.edge_i.at[e].set(i),
-        edge_j=g.edge_j.at[e].set(j),
-        edge_q=g.edge_q.at[e].set(mat_to_quat(rel[:3, :3])),
-        edge_t=g.edge_t.at[e].set(rel[:3, 3]),
-        edge_info=g.edge_info.at[e].set(info),
-        edge_valid=g.edge_valid.at[e].set(True),
-        n_edges=e + 1,
-    )
+    """Add a loop-closure edge: rel = measured T_ri_rj (4x4).  No-op at
+    edge capacity (see add_keyframe)."""
+    return _append_edge(g, i, j, mat_to_quat(rel[:3, :3]), rel[:3, 3], info)
 
 
 def propose_loop_candidates(g: KeyframeGraph, radius: float = 2.0,
@@ -179,6 +182,10 @@ class MappingBackend:
         self.graph = init_graph(max_nodes, max_edges)
         self.odom_info = odom_info
         self.snapshots: dict[int, KeyframeSnapshot] = {}
+        # Pairs already decided by close_loops (accepted or rejected):
+        # re-verifying them every call would duplicate edges (multiplying
+        # their information in the optimizer) and burn verification time.
+        self._decided_pairs: set[tuple[int, int]] = set()
 
     def maybe_add(self, frame_output, snapshot=None) -> bool:
         """Add a keyframe from a FrameOutput when it is one (and tracked)."""
@@ -189,8 +196,11 @@ class MappingBackend:
         return False
 
     def add_keyframe(self, pose, stamp, snapshot=None):
-        if snapshot is not None:
-            self.snapshots[int(self.graph.n_nodes)] = snapshot
+        node_id = int(self.graph.n_nodes)
+        if snapshot is not None and node_id < self.graph.pose_q.shape[0]:
+            # Bounded by the graph's node capacity — no phantom ids, no
+            # unbounded device-memory growth on long runs.
+            self.snapshots[node_id] = snapshot
         self.graph = add_keyframe(self.graph, jnp.asarray(pose),
                                   jnp.float32(stamp), self.odom_info)
 
@@ -205,31 +215,34 @@ class MappingBackend:
         return np.asarray(pairs)[np.asarray(valid)]
 
     def close_loops(self, cam, radius: float = 2.0, min_gap: int = 10,
-                    min_inliers: int = 12, min_ncc: float = 0.6,
-                    pnp_settings=None, seed: int = 0) -> int:
+                    min_inliers: int = 10, min_ncc: float = 0.6,
+                    seed: int = 0) -> int:
         """Propose, geometrically verify, and insert loop closures.
 
-        Runs verify_loop (NCC matching + PnP RANSAC) on every proximity
-        candidate whose endpoints both carry snapshots; accepted closures
-        (>= min_inliers) become graph edges with information scaled by the
-        inlier count.  Returns the number of closures added.
+        Runs verify_loop (NCC matching + 3D-3D Kabsch RANSAC) on every
+        not-yet-decided proximity candidate whose endpoints both carry
+        snapshots; accepted closures (>= min_inliers) become graph edges
+        with information scaled by the inlier count.  Returns the number
+        of closures added.
         """
-        from ..ops.pnp import PnPSettings
-
-        settings = pnp_settings or PnPSettings(min_inliers=min_inliers)
         key = jax.random.PRNGKey(seed)
         added = 0
         for (i, j) in self.loop_candidates(radius, min_gap):
-            si = self.snapshots.get(int(i))
-            sj = self.snapshots.get(int(j))
+            pair = (int(i), int(j))
+            if pair in self._decided_pairs:
+                continue
+            si = self.snapshots.get(pair[0])
+            sj = self.snapshots.get(pair[1])
             if si is None or sj is None:
                 continue
             key, sub = jax.random.split(key)
-            rel, ok, n_inl = verify_loop(si, sj, cam, sub, settings,
+            rel, ok, n_inl = verify_loop(si, sj, cam, sub,
+                                         min_inliers=min_inliers,
                                          min_ncc=min_ncc)
+            self._decided_pairs.add(pair)
             if bool(ok) and int(n_inl) >= min_inliers:
                 self.add_loop_closure(
-                    int(i), int(j), rel, info=1e3 * float(n_inl)
+                    pair[0], pair[1], rel, info=1e3 * float(n_inl)
                 )
                 added += 1
         return added
@@ -297,19 +310,34 @@ def snapshot_features(features, left_img, cam, max_kp: int = 64,
                             valid=sel_ok)
 
 
-@partial(jax.jit, static_argnames=("settings", "min_ncc", "ratio"))
+@partial(jax.jit, static_argnames=("min_inliers", "min_ncc", "ratio",
+                                   "inlier_threshold"))
 def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
-                rng_key, settings, min_ncc: float = 0.6,
-                ratio: float = 0.95):
+                rng_key, min_inliers: int = 10, min_ncc: float = 0.6,
+                ratio: float = 0.95, inlier_threshold: float = 0.3):
     """Geometric verification of a loop candidate (i, j).
 
-    Matches snapshots by normalized cross-correlation (mutual nearest +
-    ratio test), then solves PnP RANSAC with i's robot-frame points against
-    j's pixels.  Returns (rel [4,4] = T_ri_rj, ok, n_inliers).
-    """
-    from ..core.lie import mat_inv_se3, mat_to_quat
-    from ..ops import pnp
+    Three stages:
+      1. appearance matching: normalized cross-correlation of the intensity
+         patches (mutual nearest + ratio test);
+      2. global initialization: 3D-3D Kabsch RANSAC on the matched
+         stereo-triangulated points (ops/rigid.py) — closed-form, needs no
+         pose prior, so large-viewpoint loops are handled (unlike seeding a
+         local PnP solver with identity);
+      3. precision + gating: PnP RANSAC (2-D reprojection, far less noisy
+         than triangulated depth) seeded with the Kabsch estimate.
 
+    Returns (rel [4,4] = T_ri_rj, ok, n_inliers).
+    """
+    from ..core.lie import mat_to_quat
+    from ..ops import pnp
+    from ..ops.rigid import estimate_rigid_3d
+
+    if snap_i.uv.shape[0] != snap_j.uv.shape[0]:
+        raise ValueError(
+            "verify_loop requires snapshots of equal max_kp; got "
+            f"{snap_i.uv.shape[0]} vs {snap_j.uv.shape[0]}"
+        )
     M = snap_i.uv.shape[0]
     ncc = snap_i.patch @ snap_j.patch.T  # [M, M]
     pairmask = snap_i.valid[:, None] & snap_j.valid[None, :]
@@ -326,16 +354,26 @@ def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
         & (row2 <= ratio * row)
     )
 
-    # Correspondences: i's 3D points vs j's matched pixels.
-    uv_j = snap_j.uv[best_j]
-    # Camera-from-world guess = identity camera at i's frame mapped through
-    # the image/robot permutation (same convention as the estimator).
-    guess_cam = mat_inv_se3(cam.t_ri)
+    # Coarse rel: p_i ~= R p_j + t (j-frame robot coords into i's frame).
+    key_k, key_p = jax.random.split(rng_key)
+    coarse = estimate_rigid_3d(
+        snap_i.p_robot, snap_j.p_robot[best_j], match_ok, key_k,
+        inlier_threshold=inlier_threshold, min_inliers=min_inliers,
+    )
+    rel0 = jnp.eye(4, dtype=snap_i.p_robot.dtype)
+    rel0 = rel0.at[:3, :3].set(coarse.rotation).at[:3, 3].set(
+        coarse.translation)
+
+    # PnP refinement: i's robot-frame points against j's pixels, guess from
+    # the Kabsch estimate (same frame conventions as the estimator stage).
+    guess_cam = mat_inv_se3(rel0 @ cam.t_ri)
     q0 = mat_to_quat(guess_cam[:3, :3])
     t0 = guess_cam[:3, 3]
     res = pnp.solve_pnp_ransac(
-        snap_i.p_robot, uv_j, match_ok, q0, t0,
-        cam.fx, cam.fy, cam.cx, cam.cy, rng_key, settings,
+        snap_i.p_robot, snap_j.uv[best_j], match_ok, q0, t0,
+        cam.fx, cam.fy, cam.cx, cam.cy, key_p,
+        pnp.PnPSettings(iterations=16, min_inliers=min_inliers),
     )
     rel = mat_inv_se3(cam.t_ri @ se3_matrix(res.q, res.t))
-    return rel, res.ok, res.n_inliers
+    ok = coarse.ok & res.ok
+    return jnp.where(res.ok, rel, rel0), ok, res.n_inliers

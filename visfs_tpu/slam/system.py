@@ -30,6 +30,7 @@ from ..config import VISFSConfig, config_from_parameters
 from ..core.camera import StereoCamera, make_stereo_camera
 from ..core.lie import mat_to_xyzrpy, se3_matrix
 from ..ops.lk import LKParams
+from ..ops.lk import lk_pad as _lk_pad
 from ..ops.pnp import PnPSettings
 from ..solver.ba import BASettings
 from . import extrapolator as extr
@@ -133,14 +134,14 @@ def vo_step_impl(
     # tracker_step) so only the current left/right pyramids are computed.
     prev_pyr = None
     if state.prev_pyr:
-        from ..ops.lk import LKPyramid
+        from ..ops.lk import LKPyramid, lk_pad
 
         h, w = state.prev_left.shape
         prev_pyr = LKPyramid(
             levels=tuple(lv[0] for lv in state.prev_pyr),
             gx=tuple(lv[1] for lv in state.prev_pyr),
             gy=tuple(lv[2] for lv in state.prev_pyr),
-            height=h, width=w, pad=lk_params.win_size // 2 + 2,
+            height=h, width=w, pad=lk_pad(lk_params),
         )
 
     trk = tracker_step(
@@ -279,7 +280,7 @@ class System:
             window=self.cfg.local_map_map_size + 1,
             seed=self._seed,
             laser=laser,
-            lk_pad=self.lk_params.win_size // 2 + 2,
+            lk_pad=_lk_pad(self.lk_params),
             lk_max_level=self.lk_params.max_level,
         )
 
