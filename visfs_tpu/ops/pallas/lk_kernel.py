@@ -1,18 +1,23 @@
 """Pallas TPU kernel for the pyramidal LK iteration loop.
 
-The pure-jnp LK (ops/lk.py) is HBM-bound: every iteration re-gathers a
-window patch per feature from HBM, and the iteration loop serializes those
-gathers (~80 ms for 240 features at 640x480 on v5e).  This kernel keeps the
-whole pyramid level (image pair + from-gradients) resident in VMEM and runs
-each feature's full iteration loop in one grid step — the patch reads become
-VMEM dynamic slices, eliminating the HBM round trips.
+Keeps the whole pyramid level (image pair + from-gradients) resident in
+VMEM and runs each feature's full iteration loop in one grid step.  Mosaic
+rejects dynamic VMEM loads at unaligned offsets ("cannot statically prove
+index is a multiple of 8"), so patch reads load an (8,128)-aligned 32x256
+block and shift out the misalignment with dynamic in-register rotates
+(pltpu.roll); images are alignment-padded by the wrapper.
 
 Grid: one program per feature.  The image blocks use a constant index map so
 Mosaic keeps them in VMEM across the grid; per-feature scalars (positions,
 flow, status) live in SMEM (Mosaic forbids scalar stores to VMEM).
-Numerics match ops/lk.py exactly (same bilinear patch extraction, same
-gradient matrix, same eps/min-eig termination), so the two paths are
-interchangeable and cross-checked in tests.
+Numerics match ops/lk.py (same bilinear patch extraction, gradient matrix,
+eps/min-eig termination; cross-checked in tests and on-device to <0.01 px).
+
+Measured on one real chip (240 features, VGA, win 21, 3 levels): ~5.4 ms vs
+~3.4 ms for the jnp selector-matmul path — the grid serializes features
+while the jnp path batches them, so this kernel is the opt-in backend
+(LKParams.backend="pallas"), kept as the VMEM-resident reference
+implementation and for shapes where feature counts are small.
 """
 
 from __future__ import annotations
@@ -25,13 +30,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bilinear_patch(img_ref, cx, cy, win: int):
+_BLK_ROWS = 32  # win+1 (<=22) + sublane misalignment (<=7), rounded to 8
+_BLK_COLS = 256  # win+1 + lane misalignment (<=127), rounded to 128
+
+
+def _bilinear_patch(img_ref, cx, cy, win: int, orig_h: int, orig_w: int):
     """win x win patch centered at (cx, cy) from a VMEM image ref.
 
     Mirrors ops/image.extract_patch_bilinear: integer-aligned (win+1)^2
-    region + 4-tap blend; border clamp.
+    region + 4-tap blend; border clamp at the ORIGINAL image bounds
+    (orig_h/orig_w — img_ref is alignment-padded beyond them).  Mosaic only
+    allows dynamic VMEM loads at sublane/lane-aligned offsets, so the load
+    is rounded down to an (8, 128)-aligned corner of a 32x256 block and the
+    misalignment is removed with dynamic in-register rotates (pltpu.roll);
+    the padding guarantees aligned blocks never run off the array (see
+    lk_level_pallas).
     """
-    h, w = img_ref.shape
     half = win // 2
     x0 = cx - half
     y0 = cy - half
@@ -39,9 +53,14 @@ def _bilinear_patch(img_ref, cx, cy, win: int):
     iy = jnp.floor(y0).astype(jnp.int32)
     fx = x0 - ix.astype(x0.dtype)
     fy = y0 - iy.astype(y0.dtype)
-    ix = jnp.clip(ix, 0, w - win - 2)
-    iy = jnp.clip(iy, 0, h - win - 2)
-    region = img_ref[pl.ds(iy, win + 1), pl.ds(ix, win + 1)]
+    ix = jnp.clip(ix, 0, orig_w - win - 2)
+    iy = jnp.clip(iy, 0, orig_h - win - 2)
+    iy8 = (iy // 8) * 8
+    ix128 = (ix // 128) * 128
+    blk = img_ref[pl.ds(iy8, _BLK_ROWS), pl.ds(ix128, _BLK_COLS)]
+    blk = pltpu.roll(blk, -(iy - iy8), 0)
+    blk = pltpu.roll(blk, -(ix - ix128), 1)
+    region = blk[: win + 1, : win + 1]
     w00 = (1 - fx) * (1 - fy)
     w10 = fx * (1 - fy)
     w01 = (1 - fx) * fy
@@ -58,15 +77,15 @@ def _lk_level_kernel(pts_ref, flow_in_ref, active_ref,  # SMEM inputs
                      img_from_ref, img_to_ref, gx_ref, gy_ref,  # VMEM
                      flow_out_ref, ok_ref, eig_ref,  # SMEM outputs
                      *, win: int, iterations: int, eps: float,
-                     min_eig_threshold: float):
+                     min_eig_threshold: float, orig_h: int, orig_w: int):
     i = pl.program_id(0)
     px = pts_ref[i, 0]
     py = pts_ref[i, 1]
     active = active_ref[i, 0] > 0.0
 
-    patch_i = _bilinear_patch(img_from_ref, px, py, win)
-    gx = _bilinear_patch(gx_ref, px, py, win)
-    gy = _bilinear_patch(gy_ref, px, py, win)
+    patch_i = _bilinear_patch(img_from_ref, px, py, win, orig_h, orig_w)
+    gx = _bilinear_patch(gx_ref, px, py, win, orig_h, orig_w)
+    gy = _bilinear_patch(gy_ref, px, py, win, orig_h, orig_w)
     g11 = jnp.sum(gx * gx)
     g12 = jnp.sum(gx * gy)
     g22 = jnp.sum(gy * gy)
@@ -90,7 +109,8 @@ def _lk_level_kernel(pts_ref, flow_in_ref, active_ref,  # SMEM inputs
 
     def body(carry):
         fx, fy, it, _ = carry
-        patch_j = _bilinear_patch(img_to_ref, px + fx, py + fy, win)
+        patch_j = _bilinear_patch(img_to_ref, px + fx, py + fy, win,
+                                  orig_h, orig_w)
         diff = patch_i - patch_j
         b1 = jnp.sum(diff * gx)
         b2 = jnp.sum(diff * gy)
@@ -125,9 +145,20 @@ def lk_level_pallas(img_from, img_to, gx, gy, pts, flow_in, active, *,
     Returns (flow_out [N,2], ok [N] f32, min_eig [N]).
     """
     n = pts.shape[0]
+    h, w = img_from.shape
+    # Alignment padding: the kernel loads (8,128)-aligned 32x256 blocks at
+    # corners up to (h - win - 2, w - win - 2); pad so those blocks always
+    # fit.  Padded area is never selected (clip uses the original bounds).
+    hp = -(-h // 8) * 8 + _BLK_ROWS
+    wp = -(-w // 128) * 128 + _BLK_COLS
+    pad_spec = ((0, hp - h), (0, wp - w))
+    img_from = jnp.pad(img_from, pad_spec)
+    img_to = jnp.pad(img_to, pad_spec)
+    gx = jnp.pad(gx, pad_spec)
+    gy = jnp.pad(gy, pad_spec)
     kernel = functools.partial(
         _lk_level_kernel, win=win, iterations=iterations, eps=eps,
-        min_eig_threshold=min_eig_threshold,
+        min_eig_threshold=min_eig_threshold, orig_h=h, orig_w=w,
     )
     img_spec = pl.BlockSpec(img_from.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
