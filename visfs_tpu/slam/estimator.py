@@ -46,7 +46,7 @@ from ..core.lie import (
 from ..ops import pnp
 from ..solver import ba
 from ..solver.factors import StereoIntrinsics
-from .state import FeatureTable, KeyframeCounters, VOState, WindowState
+from .state import I32, FeatureTable, KeyframeCounters, VOState, WindowState
 from .tracker import TrackerOutput
 
 _BAD_COVARIANCE = 9999.0
@@ -71,6 +71,9 @@ class EstimatorSettings:
     laser_covariance: float = 0.1
     num_range_data: int = 90  # Map/2dNumRangeData
     insert_free_space: bool = True
+    # Fixed per-ray supercover sample budget; must cover the longest ray
+    # (~2*range/resolution cells) or free-space updates truncate silently.
+    # System.init sizes it from MaxLaserRange/MissingDataRayLength/extent.
     raycast_samples: int = 128
 
 
@@ -371,7 +374,13 @@ def estimator_step(
     # ------------------------------------------------------------------
     # 4. Wheel tolerance override (Estimator.cpp:325-366)
     # ------------------------------------------------------------------
-    wheel_branch = wheel_valid_eff & map_available & (cfg.sensor_strategy >= 2)
+    # prev_wheel_valid gate: without a previous wheel pose, d_wheel would be
+    # the ABSOLUTE wheel pose (prev = init identity) — after a restart
+    # mid-odom-frame or a wheel dropout that "delta" spans the whole odom
+    # origin offset / k frames and must not override a 1-frame visual
+    # transform.
+    wheel_branch = (wheel_valid_eff & state.prev_wheel_valid
+                    & map_available & (cfg.sensor_strategy >= 2))
     d_wheel = mat_inv_se3(prev_wheel_mat) @ wheel_pose_eff
     wx, wy, _, _, _, _ = mat_to_xyzrpy(d_wheel)
     vx, vy, _, _, _, _ = mat_to_xyzrpy(transform)
@@ -391,7 +400,11 @@ def estimator_step(
     # 5. Force3DoF (Estimator.cpp:368-375)
     # ------------------------------------------------------------------
     if cfg.force_3dof:
+        # Flatten the transform too (the reference flattens before either
+        # is consumed): downstream velocity guess and the next frame's
+        # sig_pose = pose @ transform must not reintroduce z/roll/pitch.
         current_global = flatten_3dof(current_global)
+        transform = flatten_3dof(transform)
 
     # ------------------------------------------------------------------
     # 5b. Submap insertion at the fused global pose (Estimator.cpp:377-388)
@@ -400,8 +413,11 @@ def estimator_step(
     if use_laser:
         from ..map2d.submap import insert_range_data_active
 
-        pose_for_map = jnp.where(transform_ok | bootstrap, current_global,
-                                 pose_mat)
+        # On bootstrap with no transform, current_global = pose_mat @ zero4
+        # is the zero matrix — scans must be placed at the signature pose
+        # (== pose_mat on the first frame), never through the zero product.
+        pose_for_map = jnp.where(transform_ok, current_global,
+                                 jnp.where(bootstrap, sig_pose, pose_mat))
         hits_w = mat_apply(pose_for_map, scan.returns)[:, :2]
         miss_w = mat_apply(pose_for_map, scan.misses)[:, :2]
         origin_w = mat_apply(pose_for_map, scan.origin)[:2]
@@ -447,7 +463,13 @@ def estimator_step(
     rm_obs = res_ba.outliers & do_update
     obs_mask2 = features.obs_mask & ~rm_obs
     obs_count2 = jnp.sum(obs_mask2, axis=1)
-    third_newest_id = window.frame_id[W - 3]
+    if W >= 3:
+        third_newest_id = window.frame_id[W - 3]
+    else:
+        # No "third newest" slot in a degenerate <=1-size window: blocking
+        # by age is disabled (W-3 would wrap to the newest slot and block
+        # nearly everything).
+        third_newest_id = jnp.asarray(-1, window.frame_id.dtype)
     error_feature = (
         features.valid
         & (obs_count2 == 0)
@@ -455,12 +477,21 @@ def estimator_step(
         & (features.start_frame < third_newest_id)
         & jnp.any(rm_obs, axis=1)
     )
-    # blocked words: their last tracked position (for the detection mask)
+    # blocked words: their LAST OBSERVED position (for the detection mask).
+    # uv[:, cur] is zero for features not tracked into the current frame —
+    # using it would block detection around pixel (0, 0) instead.
+    last_col = (W - 1) - jnp.argmax(
+        features.obs_mask[:, ::-1].astype(I32), axis=1
+    )
+    last_col = jnp.where(jnp.any(features.obs_mask, axis=1), last_col, 0)
+    last_uv = jnp.take_along_axis(
+        features.uv, last_col[:, None, None].repeat(2, axis=2), axis=1
+    )[:, 0]
     B = state.blocked_uv.shape[0]
     blk_score = jnp.where(error_feature, 1.0, -jnp.inf)
     _, blk_idx = jax.lax.top_k(blk_score, min(B, blk_score.shape[0]))
     blocked_valid = jnp.take(error_feature, blk_idx)
-    blocked_uv = jnp.take(features.uv[:, cur], blk_idx, axis=0)
+    blocked_uv = jnp.take(last_uv, blk_idx, axis=0)
     if blocked_valid.shape[0] < B:
         pad = B - blocked_valid.shape[0]
         blocked_valid = jnp.concatenate(

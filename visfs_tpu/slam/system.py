@@ -265,8 +265,22 @@ class System:
         )
         laser = None
         if self.cfg.system_sensor_strategy >= 3:
+            import dataclasses as _dc
+
             from .state import init_laser_state
 
+            # Size the fixed raycast sample budget so supercover rays are
+            # never silently truncated: a ray of range R crosses at most
+            # ~2R/resolution cells, and nothing beyond the submap extent
+            # can land in the grid anyway.
+            res = self.cfg.local_map_map_resolution
+            need = int(2.0 * max(self.cfg.estimator_max_laser_range,
+                                 self.cfg.estimator_missing_data_ray_length)
+                       / max(res, 1e-6)) + 8
+            cap = 2 * self._submap_extent + 8
+            self.settings = _dc.replace(
+                self.settings, raycast_samples=min(need, cap)
+            )
             laser = init_laser_state(
                 resolution=self.cfg.local_map_map_resolution,
                 extent_cells=self._submap_extent,
