@@ -78,10 +78,14 @@ def gftt_detect(
     inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     score = jnp.where(inside, score, 0.0)
 
-    # 3x3 non-max suppression.
-    neigh = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    # 3x3 non-max suppression as two separable shift-max passes (same
+    # -inf-padded semantics as reduce_window, but plain fusable VPU work).
+    ninf = jnp.asarray(-jnp.inf, score.dtype)
+    rowp = jnp.pad(score, ((1, 1), (0, 0)), constant_values=ninf)
+    rowmax = jnp.maximum(jnp.maximum(rowp[:-2], rowp[1:-1]), rowp[2:])
+    colp = jnp.pad(rowmax, ((0, 0), (1, 1)), constant_values=ninf)
+    neigh = jnp.maximum(jnp.maximum(colp[:, :-2], colp[:, 1:-1]),
+                        colp[:, 2:])
     is_peak = score >= neigh
     score = jnp.where(is_peak, score, 0.0)
 
