@@ -24,9 +24,9 @@ Deviations from the reference (documented, behavior-equivalent):
   * on lost tracking the reference returns without words and re-bootstraps
     on the *next* frame; we drop the tracks and re-detect on the current
     frame immediately (one frame faster to recover);
-  * Tracker/CullByFundationMatrix (default off) is subsumed by the
-    reverse-flow gate + PnP RANSAC; the fundamental-matrix path is not
-    implemented separately.
+  * Tracker/CullByFundationMatrix selects an 8-point + Sampson-distance
+    RANSAC cull (ops/fundamental.py) applied instead of the reverse-flow
+    gate, mirroring the reference's either/or at Tracker.cpp:260-277.
 """
 
 from __future__ import annotations
