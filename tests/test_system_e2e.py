@@ -114,16 +114,16 @@ class TestStereoWheelFusion:
 
     def test_fusion_tracks_trajectory(self):
         seq = generate_sequence(n_frames=12, n_points=400, seed=7,
-                                motion="arc")
+                                motion="arc", odom_noise=0.002)
         outs, est = run_vo(seq, extra={"System/SensorStrategy": 2},
                            with_odom=True)
         ate = ate_rmse(est, seq.poses)
-        assert ate < 0.02, ate
+        assert ate < 0.03, ate
 
     def test_wheel_override_on_bad_visuals(self):
         """Blank out images: wheel odometry must carry the trajectory."""
         seq = generate_sequence(n_frames=10, n_points=400, seed=8,
-                                motion="forward")
+                                motion="forward", odom_noise=0.002)
         left = np.array(seq.left)
         right = np.array(seq.right)
         left[4:8] = 0.0
@@ -133,8 +133,46 @@ class TestStereoWheelFusion:
                                  wheel_odom=seq.wheel_odom)
         est = np.stack([np.asarray(o.pose) for o in outs])
         ate = ate_rmse(est, seq.poses)
-        # wheel odometry in the sim is noise-free -> trajectory survives
-        assert ate < 0.05, ate
+        # noisy (2 mm / 2 mrad sigma) wheel odometry carries the blackout
+        assert ate < 0.06, ate
+
+
+class TestStageProfiling:
+    """Per-stage timing diagnostics (reference EstimateInfo fields,
+    Signature.h:62-73, published via OdomInfo — MsgConversion.cpp:104-106)."""
+
+    def test_timing_fields_populated_and_published(self):
+        from visfs_tpu.io.interface import frame_output_to_messages
+
+        seq = generate_sequence(n_frames=6, n_points=300, seed=10)
+        sys_ = System(dict(PARAMS), profile_stages=True)
+        cam = seq.camera
+        sys_.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                  float(cam.baseline), width=cam.width, height=cam.height)
+        outs = sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        assert len(outs) == 6
+        for o in outs:
+            assert float(o.time_tracking) > 0.0
+            assert float(o.local_bundle_time) > 0.0
+            assert float(o.time_estimation) >= float(o.local_bundle_time)
+            assert float(o.time_total) >= (
+                float(o.time_tracking) + float(o.time_estimation)
+            ) * 0.99
+        # trajectory still correct through the split-stage path
+        est = np.stack([np.asarray(o.pose) for o in outs])
+        assert ate_rmse(est, seq.poses) < 0.02
+        _, info = frame_output_to_messages(outs[-1])
+        assert info.time_total > 0.0
+        assert info.local_bundle_time > 0.0
+
+    def test_fused_path_zero_timings(self):
+        seq = generate_sequence(n_frames=3, n_points=300, seed=11)
+        sys_ = System(dict(PARAMS))
+        cam = seq.camera
+        sys_.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                  float(cam.baseline), width=cam.width, height=cam.height)
+        outs = sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        assert float(outs[-1].time_total) == 0.0
 
 
 class TestForce3DoF:

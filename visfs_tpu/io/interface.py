@@ -44,6 +44,14 @@ class OdomInfo:
     ba_chi2: float
     ba_ok: bool
     interval: float
+    # Per-stage wall times in seconds (the reference's EstimateInfo timing
+    # fields published in rtabmap_ros/OdomInfo — Signature.h:62-73,
+    # MsgConversion.cpp:104-106).  Non-zero when the System runs with
+    # profile_stages=True; zero under the fused async step.
+    time_tracking: float = 0.0
+    time_estimation: float = 0.0
+    local_bundle_time: float = 0.0
+    time_total: float = 0.0
 
 
 def frame_output_to_messages(out, prev_stamp: Optional[float] = None):
@@ -92,6 +100,10 @@ def frame_output_to_messages(out, prev_stamp: Optional[float] = None):
         ba_chi2=float(out.ba_chi2),
         ba_ok=bool(out.ba_ok),
         interval=(stamp - prev_stamp) if prev_stamp is not None else 0.0,
+        time_tracking=float(out.time_tracking),
+        time_estimation=float(out.time_estimation),
+        local_bundle_time=float(out.local_bundle_time),
+        time_total=float(out.time_total),
     )
     return odom, info
 

@@ -69,12 +69,44 @@ class EstimatorSettings:
     max_laser_range: float = 30.0
     missing_data_ray_length: float = 5.0
     laser_covariance: float = 0.1
+    # Estimator/NumSubDivisionPreScan: rolling-scan de-skew buckets
+    num_subdivisions: int = 5
     num_range_data: int = 90  # Map/2dNumRangeData
     insert_free_space: bool = True
     # Fixed per-ray supercover sample budget; must cover the longest ray
     # (~2*range/resolution cells) or free-space updates truncate silently.
     # System.init sizes it from MaxLaserRange/MissingDataRayLength/extent.
     raycast_samples: int = 128
+
+
+class EstimatorContext(NamedTuple):
+    """Everything estimator_prepare computes that estimator_finalize needs.
+
+    The split around the BA solve exists so the host can time the three
+    stages (prepare / local bundle / finalize) independently when profiling
+    (the reference's per-thread stage timers, Signature.h:62-73); the fused
+    production step calls prepare -> local_optimize -> finalize inside one
+    jit with zero duplication.
+    """
+
+    features: FeatureTable
+    window: WindowState
+    counters: KeyframeCounters
+    keyframe: jnp.ndarray
+    transform: jnp.ndarray  # [4,4] pre-BA initial transform
+    transform_ok: jnp.ndarray
+    inlier_mask: jnp.ndarray
+    run_ba: jnp.ndarray
+    map_available: jnp.ndarray
+    lm_ba: jnp.ndarray
+    bootstrap: jnp.ndarray
+    sig_pose: jnp.ndarray
+    pose_mat: jnp.ndarray
+    prev_wheel_mat: jnp.ndarray
+    wheel_pose_eff: jnp.ndarray
+    wheel_valid_eff: jnp.ndarray
+    n_matches: jnp.ndarray
+    scan: object = None  # laser.PretreatedScan (strategies >= 3) or None
 
 
 class EstimatorResult(NamedTuple):
@@ -98,6 +130,43 @@ class EstimatorResult(NamedTuple):
     laser: object = None  # updated LaserState (strategies >= 3)
 
 
+def keyframe_update(c: KeyframeCounters, n_new, transform, transform_ok,
+                    parallax_mean, max_features: int, min_translation: float,
+                    min_parallax: float):
+    """Keyframe decision + counter update (LocalMap.cpp:95-126).
+
+    The reference accumulates |t| componentwise per frame and fires when
+      * newFeatureCount > 0.2 * maxFeature (LocalMap.cpp:99), or
+      * signatureCount > 10 AND the SQUARED norm of the accumulated
+        translation exceeds MinTranslation *directly* — the threshold is
+        not squared in the comparison (LocalMap.cpp:105-106), or
+      * accumulated mean parallax >= MinParallax (LocalMap.cpp:116-121).
+    Any firing clears all counters (clearCounters).  The reference's
+    else-if chain is equivalent to this OR: whichever branch fires, the
+    counters reset, so skipped accumulations are unobservable.
+    """
+    new_feature_count = c.new_feature_count + n_new
+    signature_count = c.signature_count + 1
+    translation_count = c.translation_count + jnp.where(
+        transform_ok, jnp.abs(transform[:3, 3]), 0.0
+    )
+    parallax_count = c.parallax_count + parallax_mean
+
+    cond_feat = new_feature_count > (0.2 * max_features)
+    cond_trans = (signature_count > 10) & (
+        jnp.sum(translation_count * translation_count) > min_translation
+    )
+    cond_par = parallax_count >= min_parallax
+    keyframe = cond_feat | cond_trans | cond_par
+    counters = KeyframeCounters(
+        new_feature_count=jnp.where(keyframe, 0, new_feature_count),
+        signature_count=jnp.where(keyframe, 0, signature_count),
+        parallax_count=jnp.where(keyframe, 0.0, parallax_count),
+        translation_count=jnp.where(keyframe, 0.0, translation_count),
+    )
+    return keyframe, counters
+
+
 def _twr_to_tcw(pose_q, pose_t, t_ri):
     """Window poses Twr -> inverse camera poses Tcw (Optimizer.cpp:100-114)."""
     Twr = se3_matrix(pose_q, pose_t)
@@ -113,7 +182,7 @@ def _tcw_to_twr(q, t, t_ir):
     return Twc @ t_ir  # Twr = Twc * Tri^-1 ; t_ir = Tri^-1
 
 
-def estimator_step(
+def estimator_prepare(
     state: VOState,
     trk: TrackerOutput,
     stamp,
@@ -125,7 +194,8 @@ def estimator_step(
     rng_key,
     scan_points=None,  # [K, 3] laser-frame scan (strategies >= 3)
     scan_mask=None,  # [K]
-) -> EstimatorResult:
+    scan_times=None,  # [K] per-point time offsets (<= 0, newest = 0)
+) -> Tuple[ba.BAProblem, EstimatorContext]:
     W = trk.features.window
     cur = W - 1
     prev = W - 2
@@ -229,33 +299,14 @@ def estimator_step(
     )
 
     # Keyframe decision (LocalMap.cpp:95-126)
-    c = state.counters
-    new_feature_count = c.new_feature_count + trk.n_new
-    signature_count = c.signature_count + 1
-    trans_abs = jnp.abs(transform[:3, 3])
-    translation_count = c.translation_count + jnp.where(
-        transform_ok, trans_abs, 0.0
-    )
     # parallax: mean displacement of temporal matches
     prev_uv = features.uv[:, prev]
     dpix = jnp.linalg.norm(trk.temporal_uv - prev_uv, axis=-1)
     n_par = jnp.maximum(jnp.sum(trk.temporal_mask), 1)
     parallax_mean = jnp.sum(jnp.where(trk.temporal_mask, dpix, 0.0)) / n_par
-    parallax_count = c.parallax_count + parallax_mean
-
-    cond_feat = new_feature_count > (0.2 * cfg.max_features)
-    min_t2 = 3.0 * cfg.min_translation * cfg.min_translation
-    cond_trans = (signature_count > 10) & (
-        jnp.sum(translation_count * translation_count) > min_t2
-    )
-    cond_par = parallax_count >= cfg.min_parallax
-    keyframe = cond_feat | cond_trans | cond_par
-    reset = keyframe
-    counters = KeyframeCounters(
-        new_feature_count=jnp.where(reset, 0, new_feature_count),
-        signature_count=jnp.where(reset, 0, signature_count),
-        parallax_count=jnp.where(reset, 0.0, parallax_count),
-        translation_count=jnp.where(reset, 0.0, translation_count),
+    keyframe, counters = keyframe_update(
+        state.counters, trk.n_new, transform, transform_ok, parallax_mean,
+        cfg.max_features, cfg.min_translation, cfg.min_parallax,
     )
 
     # ------------------------------------------------------------------
@@ -266,10 +317,16 @@ def estimator_step(
     if use_laser:
         from . import laser as laser_mod
 
+        # De-skew with the carried velocity guess (zero when invalid:
+        # compensation degrades to identity).
+        vel = jnp.where(state.velocity_valid, state.velocity,
+                        jnp.zeros(6, dtype))
         scan = laser_mod.pretreat(
             scan_points, scan_mask, state.laser.t_laser_robot,
             cfg.min_laser_range, cfg.max_laser_range,
             cfg.missing_data_ray_length,
+            times=scan_times, velocity6=vel,
+            n_subdivisions=cfg.num_subdivisions,
         )
 
     # ------------------------------------------------------------------
@@ -350,7 +407,60 @@ def estimator_step(
         intr=intr,
         laser=laser_data,
     )
-    res_ba = ba.local_optimize(problem, cfg.ba)
+    ctx = EstimatorContext(
+        features=features,
+        window=window,
+        counters=counters,
+        keyframe=keyframe,
+        transform=transform,
+        transform_ok=transform_ok,
+        inlier_mask=inlier_mask,
+        run_ba=run_ba,
+        map_available=map_available,
+        lm_ba=lm_ba,
+        bootstrap=bootstrap,
+        sig_pose=sig_pose,
+        pose_mat=pose_mat,
+        prev_wheel_mat=prev_wheel_mat,
+        wheel_pose_eff=wheel_pose_eff,
+        wheel_valid_eff=wheel_valid_eff,
+        n_matches=n_matches,
+        scan=scan if use_laser else None,
+    )
+    return problem, ctx
+
+
+def estimator_finalize(
+    state: VOState,
+    ctx: EstimatorContext,
+    res_ba: ba.BAResult,
+    stamp,
+    cam: StereoCamera,
+    cfg: EstimatorSettings,
+) -> EstimatorResult:
+    features = ctx.features
+    window = ctx.window
+    W = window.valid.shape[0]
+    cur = W - 1
+    prev = W - 2
+    dtype = state.pose_t.dtype
+    zero4 = jnp.zeros((4, 4), dtype=dtype)
+    pose_mat = ctx.pose_mat
+    transform = ctx.transform
+    transform_ok = ctx.transform_ok
+    inlier_mask = ctx.inlier_mask
+    run_ba = ctx.run_ba
+    use_laser = (cfg.sensor_strategy >= 3 and state.laser is not None
+                 and ctx.scan is not None)
+    scan = ctx.scan
+    wheel_valid_eff = ctx.wheel_valid_eff
+    prev_wheel_mat = ctx.prev_wheel_mat
+    wheel_pose_eff = ctx.wheel_pose_eff
+    map_available = ctx.map_available
+    bootstrap = ctx.bootstrap
+    sig_pose = ctx.sig_pose
+    lm_ba = ctx.lm_ba
+
     ba_ok = res_ba.ok & run_ba
 
     # Post-BA: drop features with outlier edges from the inlier set
@@ -526,15 +636,15 @@ def estimator_step(
     return EstimatorResult(
         features=features,
         window=window,
-        counters=counters,
+        counters=ctx.counters,
         pose_q=pose_q,
         pose_t=pose_t,
         transform=jnp.where(transform_ok, transform, zero4),
-        keyframe=keyframe,
+        keyframe=ctx.keyframe,
         lost=lost,
         velocity6=velocity6,
         velocity_valid=velocity_valid,
-        n_matches=n_matches,
+        n_matches=ctx.n_matches,
         n_inliers=n_inliers,
         ba_chi2=res_ba.chi2,
         ba_ok=ba_ok,
@@ -543,6 +653,31 @@ def estimator_step(
         covariance=covariance,
         laser=laser_state,
     )
+
+
+def estimator_step(
+    state: VOState,
+    trk: TrackerOutput,
+    stamp,
+    wheel_pose,
+    wheel_valid,
+    guess_delta,
+    cam: StereoCamera,
+    cfg: EstimatorSettings,
+    rng_key,
+    scan_points=None,
+    scan_mask=None,
+    scan_times=None,
+) -> EstimatorResult:
+    """Full back-end step = prepare -> local BA -> finalize (the fused
+    production path; the split exists for host-side stage profiling)."""
+    problem, ctx = estimator_prepare(
+        state, trk, stamp, wheel_pose, wheel_valid, guess_delta, cam, cfg,
+        rng_key, scan_points=scan_points, scan_mask=scan_mask,
+        scan_times=scan_times,
+    )
+    res_ba = ba.local_optimize(problem, cfg.ba)
+    return estimator_finalize(state, ctx, res_ba, stamp, cam, cfg)
 
 
 def marginalize(features: FeatureTable, window: WindowState, keyframe,

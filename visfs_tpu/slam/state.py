@@ -139,6 +139,14 @@ class FrameOutput(NamedTuple):
     stamp: jnp.ndarray
     covariance: jnp.ndarray  # [6, 6] (identity like Estimator.cpp:302, or
     # BAD_COVARIANCE*I when lost — InterfaceROS.cpp:291-312)
+    # Per-stage wall times in seconds (EstimateInfo timing fields,
+    # Signature.h:62-73, published via OdomInfo — MsgConversion.cpp:104-106).
+    # Host-measured around synced stage jits when System(profile_stages=True);
+    # zero in the fused async path (stages have no host-visible boundary).
+    time_tracking: jnp.ndarray = 0.0
+    time_estimation: jnp.ndarray = 0.0
+    local_bundle_time: jnp.ndarray = 0.0
+    time_total: jnp.ndarray = 0.0
 
 
 def init_feature_table(capacity: int, window: int) -> FeatureTable:

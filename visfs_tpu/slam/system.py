@@ -19,8 +19,9 @@ Host API mirrors the reference surface (System.h:30-53):
 from __future__ import annotations
 
 import collections
+import time
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,12 @@ from ..ops.lk import lk_pad as _lk_pad
 from ..ops.pnp import PnPSettings
 from ..solver.ba import BASettings
 from . import extrapolator as extr
-from .estimator import EstimatorSettings, estimator_step, marginalize
+from .estimator import (
+    EstimatorSettings,
+    estimator_finalize,
+    estimator_prepare,
+    marginalize,
+)
 from .state import FrameOutput, VOState, init_state
 from .tracker import tracker_step
 
@@ -64,6 +70,7 @@ def _build_settings(cfg: VISFSConfig) -> EstimatorSettings:
             reproj_error=cfg.estimator_pnp_reproj_error,
             min_inliers=cfg.estimator_min_inliers,
             refine_iterations=cfg.estimator_refine_iterations,
+            flags=cfg.estimator_pnp_flags,
         ),
         ba=BASettings(
             iterations=cfg.optimizer_iterations,
@@ -86,10 +93,25 @@ def _build_settings(cfg: VISFSConfig) -> EstimatorSettings:
         # (LocalMap.cpp:44)
         num_range_data=cfg.local_map_num_range_data_limit,
         insert_free_space=cfg.local_map_insert_free_space,
+        num_subdivisions=cfg.estimator_num_sub_division_pre_scan,
     )
 
 
-def vo_step_impl(
+class TrackStage(NamedTuple):
+    """Front-end stage output (everything the back-end stages consume)."""
+
+    trk: object  # tracker.TrackerOutput
+    window: object  # WindowState after marginalization
+    guess: jnp.ndarray  # [4,4] motion prior
+    wheel_pose: jnp.ndarray  # [4,4]
+    wheel_ok: jnp.ndarray
+    key: jnp.ndarray  # next carried rng key
+    subkey: jnp.ndarray  # estimator RANSAC key
+    left: jnp.ndarray  # post-CLAHE images (stored as prev_* next frame)
+    right: jnp.ndarray
+
+
+def track_stage_impl(
     state: VOState,
     left,
     right,
@@ -99,9 +121,9 @@ def vo_step_impl(
     lk_params: LKParams,
     cfg_hash: tuple,  # static extras: (max_features, quality, min_dist,
     # flow_back, min_depth, max_depth, clahe, wheel_freq)
-    scan_points=None,  # [K, 3] laser-frame scan (strategies >= 3)
-    scan_mask=None,
-):
+) -> TrackStage:
+    """Front-end: CLAHE, window slide, extrapolation, LK tracking (the
+    reference Tracker thread, Tracker.cpp:167-419)."""
     (max_features, quality_level, min_distance, flow_back, min_depth,
      max_depth, use_clahe, wheel_freq, cull_fund, fund_thresh) = cfg_hash
 
@@ -157,11 +179,43 @@ def vo_step_impl(
         rng_key=trk_key,
         prev_pyr=prev_pyr,
     )
-    est = estimator_step(
-        state._replace(window=window), trk, stamp, wheel_pose, wheel_ok,
-        guess, cam, cfg_est, subkey,
-        scan_points=scan_points, scan_mask=scan_mask,
+    return TrackStage(
+        trk=trk, window=window, guess=guess, wheel_pose=wheel_pose,
+        wheel_ok=wheel_ok, key=key, subkey=subkey, left=left, right=right,
     )
+
+
+def prepare_stage_impl(
+    state: VOState,
+    ts: TrackStage,
+    stamp,
+    cam: StereoCamera,
+    cfg_est: EstimatorSettings,
+    scan_points=None,
+    scan_mask=None,
+    scan_times=None,
+):
+    """Back-end problem assembly (Estimator.cpp:166-252)."""
+    return estimator_prepare(
+        state._replace(window=ts.window), ts.trk, stamp, ts.wheel_pose,
+        ts.wheel_ok, ts.guess, cam, cfg_est, ts.subkey,
+        scan_points=scan_points, scan_mask=scan_mask, scan_times=scan_times,
+    )
+
+
+def finalize_stage_impl(
+    state: VOState,
+    ts: TrackStage,
+    ctx,
+    res_ba,
+    stamp,
+    cam: StereoCamera,
+    cfg_est: EstimatorSettings,
+):
+    """Post-BA fusion + state assembly (Estimator.cpp:275-449)."""
+    est = estimator_finalize(state, ctx, res_ba, stamp, cam, cfg_est)
+    left, right, trk = ts.left, ts.right, ts.trk
+    wheel_pose, wheel_ok, key = ts.wheel_pose, ts.wheel_ok, ts.key
 
     from ..core.lie import mat_to_quat
 
@@ -213,11 +267,60 @@ def vo_step_impl(
     return new_state, out
 
 
+def vo_step_impl(
+    state: VOState,
+    left,
+    right,
+    stamp,
+    cam: StereoCamera,
+    cfg_est: EstimatorSettings,
+    lk_params: LKParams,
+    cfg_hash: tuple,
+    scan_points=None,  # [K, 3] laser-frame scan (strategies >= 3)
+    scan_mask=None,
+    scan_times=None,  # [K] per-point time offsets (<= 0, newest = 0)
+):
+    """The fused production step: track -> prepare -> BA -> finalize in one
+    XLA program.  The stage functions are the same ones the profiled path
+    jits separately, so both paths compute identically."""
+    from ..solver import ba as ba_mod
+
+    ts = track_stage_impl(
+        state, left, right, stamp, cam, cfg_est, lk_params, cfg_hash
+    )
+    problem, ctx = prepare_stage_impl(
+        state, ts, stamp, cam, cfg_est, scan_points, scan_mask, scan_times
+    )
+    res_ba = ba_mod.local_optimize(problem, cfg_est.ba)
+    return finalize_stage_impl(state, ts, ctx, res_ba, stamp, cam, cfg_est)
+
+
 vo_step = partial(
     jax.jit,
     static_argnames=("cfg_est", "lk_params", "cfg_hash"),
     donate_argnames=("state",),
 )(vo_step_impl)
+
+# Stage-split jits for the profiled path (no donation: `state` is shared
+# across the stage calls of one frame).
+_track_stage = partial(
+    jax.jit, static_argnames=("cfg_est", "lk_params", "cfg_hash"),
+)(track_stage_impl)
+_prepare_stage = partial(
+    jax.jit, static_argnames=("cfg_est",),
+)(prepare_stage_impl)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _ba_stage(problem, settings):
+    from ..solver import ba as ba_mod
+
+    return ba_mod.local_optimize(problem, settings)
+
+
+_finalize_stage = partial(
+    jax.jit, static_argnames=("cfg_est",),
+)(finalize_stage_impl)
 
 
 @jax.jit
@@ -232,7 +335,8 @@ class System:
 
     def __init__(self, parameters=None, feature_capacity_factor: int = 2,
                  seed: int = 0, scan_capacity: int = 512,
-                 submap_extent_cells: int = 256):
+                 submap_extent_cells: int = 256,
+                 profile_stages: bool = False):
         self.cfg: VISFSConfig = (
             parameters if isinstance(parameters, VISFSConfig)
             else config_from_parameters(parameters)
@@ -253,6 +357,13 @@ class System:
         self.state: Optional[VOState] = None
         self._results = collections.deque()
         self._pending = None
+        # profile_stages: run the per-frame pipeline as four synced stage
+        # jits (track / BA-prepare / local bundle / finalize) and populate
+        # FrameOutput's timing fields from host wall clocks — the
+        # reference's per-thread stage timers (Signature.h:62-73).  The
+        # default fused async path leaves them zero (no host-visible stage
+        # boundary) and is faster; enable profiling for diagnostics.
+        self.profile_stages = profile_stages
 
     # -- reference System::init (System.cpp:83-99) ------------------------
     def init(self, fx, fy, cx, cy, baseline, *, width, height,
@@ -300,30 +411,78 @@ class System:
 
     # -- reference System::inputPrimarySensorData -------------------------
     def input_primary_sensor_data(self, stamp: float, left, right,
-                                  scan=None):
-        """Feed one stereo frame (+ optional [K, 3] laser-frame scan)."""
+                                  scan=None, scan_times=None):
+        """Feed one stereo frame (+ optional [K, 3] laser-frame scan and
+        [K] per-point time offsets for rolling-scan de-skew, <= 0 with the
+        newest point at 0 — io.interface.laser_scan_to_points convention).
+        """
         assert self.state is not None, "call init() first"
         self._collect_pending()
         left = jnp.asarray(left, dtype=jnp.float32)
         right = jnp.asarray(right, dtype=jnp.float32)
-        scan_points = scan_mask = None
+        scan_points = scan_mask = scan_t = None
         if self.cfg.system_sensor_strategy >= 3:
             K = self._scan_capacity
             pts = np.zeros((K, 3), np.float32)
             msk = np.zeros((K,), bool)
+            tms = np.zeros((K,), np.float32)
             if scan is not None:
                 scan = np.asarray(scan, np.float32)[:K]
                 pts[: len(scan)] = scan
                 msk[: len(scan)] = True
+                if scan_times is not None:
+                    st = np.asarray(scan_times, np.float32)[:K]
+                    tms[: len(st)] = st
             scan_points = jnp.asarray(pts)
             scan_mask = jnp.asarray(msk)
-        self.state, out = vo_step(
-            self.state, left, right, jnp.float32(stamp), self.camera,
-            self.settings, self.lk_params, self._cfg_hash,
-            scan_points=scan_points, scan_mask=scan_mask,
-        )
+            # zero times -> de-skew degenerates to identity, so the jit
+            # signature stays stable whether or not times are supplied
+            scan_t = jnp.asarray(tms)
+        if self.profile_stages:
+            out = self._step_profiled(
+                jnp.float32(stamp), left, right, scan_points, scan_mask,
+                scan_t,
+            )
+        else:
+            self.state, out = vo_step(
+                self.state, left, right, jnp.float32(stamp), self.camera,
+                self.settings, self.lk_params, self._cfg_hash,
+                scan_points=scan_points, scan_mask=scan_mask,
+                scan_times=scan_t,
+            )
         # Async: don't block on the result; collect on the next call/output.
         self._pending = out
+
+    def _step_profiled(self, stamp, left, right, scan_points, scan_mask,
+                       scan_times=None):
+        """Synced stage-by-stage step filling FrameOutput timing fields."""
+        t0 = time.perf_counter()
+        ts = _track_stage(
+            self.state, left, right, stamp, self.camera, self.settings,
+            self.lk_params, self._cfg_hash,
+        )
+        jax.block_until_ready(ts)
+        t1 = time.perf_counter()
+        problem, ctx = _prepare_stage(
+            self.state, ts, stamp, self.camera, self.settings,
+            scan_points, scan_mask, scan_times,
+        )
+        jax.block_until_ready(ctx)
+        t2 = time.perf_counter()
+        res_ba = _ba_stage(problem, self.settings.ba)
+        jax.block_until_ready(res_ba)
+        t3 = time.perf_counter()
+        self.state, out = _finalize_stage(
+            self.state, ts, ctx, res_ba, stamp, self.camera, self.settings,
+        )
+        jax.block_until_ready(out)
+        t4 = time.perf_counter()
+        return out._replace(
+            time_tracking=np.float32(t1 - t0),
+            time_estimation=np.float32(t4 - t1),
+            local_bundle_time=np.float32(t3 - t2),
+            time_total=np.float32(t4 - t0),
+        )
 
     # -- reference System::inputWheelOdometry -----------------------------
     def input_wheel_odometry(self, stamp: float, pose6, velocity6=None):
@@ -373,12 +532,13 @@ class System:
         return jax.device_get(outs)
 
     def run_sequence(self, stamps, lefts, rights, wheel_odom=None,
-                     scans=None):
+                     scans=None, scan_times=None):
         """Convenience batch driver: feed a whole sequence, return outputs.
 
         wheel_odom: optional [K, 8] rows (stamp, x,y,z,roll,pitch,yaw, valid)
         interleaved by timestamp like the ROS callbacks would.
         scans: optional per-frame [K_i, 3] laser-frame point arrays.
+        scan_times: optional per-frame [K_i] point time offsets (de-skew).
         """
         outs = []
         odom_i = 0
@@ -392,6 +552,7 @@ class System:
             self.input_primary_sensor_data(
                 float(stamps[i]), lefts[i], rights[i],
                 scan=None if scans is None else scans[i],
+                scan_times=None if scan_times is None else scan_times[i],
             )
             out = self.output_odometry_info()
             if out is not None:
