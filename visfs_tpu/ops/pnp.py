@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.lie import quat_rotate, quat_to_mat, skew
+from ..core.lie import mat_to_quat, quat_rotate, quat_to_mat, skew
 from ..solver.factors import apply_tangent, solve6x6_spd
 
 
@@ -48,6 +48,16 @@ class PnPSettings:
     # fixed point, so total refine steps = refine_iterations * this.
     refine_steps_per_round: int = 3
     perturbation: float = 0.05  # hypothesis start jitter (m / rad)
+    # Estimator/PnPFlags (Parameters.h:174, default 1 = EPNP like the
+    # reference's cv::solvePnPRansac seed, MultiviewGeometry.cpp:238):
+    #   0 = Iterative — hypotheses are GN fits from the perturbed prior
+    #       (prior-dependent; cannot recover large unmodeled motion);
+    #   >=1 = EPNP — hypotheses are closed-form EPnP solves on random
+    #       subsets (prior-free; flag 2 "P3P" maps here too: the quartic
+    #       P3P needs general-matrix eigensolves XLA lacks on TPU, and
+    #       EPnP on a 6-subset fills the same minimal-solver role).
+    flags: int = 1
+    epnp_subset: int = 6  # subset size for closed-form hypotheses
 
 
 class PnPResult(NamedTuple):
@@ -108,6 +118,228 @@ def _gn_refine(q, t, pw, uv, weights, fx, fy, cx, cy, n_iters: int):
     return jax.lax.fori_loop(0, n_iters, body, (q, t))
 
 
+def _smallest_two_eigvecs(A, iters: int = 6, second: bool = True):
+    """Two smallest eigenvectors of a small symmetric PSD matrix by inverse
+    iteration (one LU factorization + a few triangular solves) with
+    deflation.
+
+    XLA lowers jnp.linalg.eigh to a QR-iteration custom call costing
+    ~100 us per tiny matrix on TPU; 50+ of them per frame dominated the PnP
+    stage.  Inverse iteration converges at rate (lam1/lam2) per step — for
+    the EPnP nullspace problem lam1 ~ 0, so a handful of batched LU solves
+    suffice; everything vmaps over hypotheses.  Accuracy is ample for
+    hypothesis generation (every hypothesis is GN-polished afterwards).
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    # Shift keeps the factorization nonsingular when lam1 == 0 exactly.
+    eps = 1e-6 * (jnp.trace(A) / n) + 1e-12
+    lu, piv = jax.scipy.linalg.lu_factor(A + eps * jnp.eye(n, dtype=dtype))
+
+    def run(x0, deflate):
+        def body(_, x):
+            y = jax.scipy.linalg.lu_solve((lu, piv), x)
+            y = y - deflate * (deflate @ y)
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    # Deterministic, non-degenerate starts (ones + distinct axis kicks).
+    base = jnp.ones(n, dtype) / jnp.sqrt(jnp.asarray(n, dtype))
+    v1 = run(base.at[0].add(0.5), jnp.zeros(n, dtype))
+    if not second:
+        return v1, v1
+    v2 = run(base.at[1].add(-0.5), v1)
+    return v1, v2
+
+
+def _horn_quat(S, iters: int = 16):
+    """Optimal rotation quaternion from the 3x3 correlation S = sum w a b^T
+    (b ~= R a): the largest eigenvector of Horn's symmetric 4x4 N matrix,
+    by shifted power iteration (matmul-only; replaces a 3x3 SVD that lowers
+    to a slow TPU custom call).  Proper rotation by construction."""
+    dtype = S.dtype
+    tr = S[0, 0] + S[1, 1] + S[2, 2]
+    N = jnp.array(
+        [
+            [tr, S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]],
+            [S[1, 2] - S[2, 1], S[0, 0] - S[1, 1] - S[2, 2],
+             S[0, 1] + S[1, 0], S[2, 0] + S[0, 2]],
+            [S[2, 0] - S[0, 2], S[0, 1] + S[1, 0],
+             S[1, 1] - S[0, 0] - S[2, 2], S[1, 2] + S[2, 1]],
+            [S[0, 1] - S[1, 0], S[2, 0] + S[0, 2], S[1, 2] + S[2, 1],
+             S[2, 2] - S[0, 0] - S[1, 1]],
+        ],
+        dtype=dtype,
+    )
+    # Shift to PSD so the largest eigenvalue dominates the iteration.
+    c = jnp.sqrt(jnp.sum(N * N)) + 1e-6
+    Ns = N + c * jnp.eye(4, dtype=dtype)
+
+    def body(_, x):
+        y = Ns @ x
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+
+    q0 = jnp.array([1.0, 0.1, 0.1, 0.1], dtype)
+    q = jax.lax.fori_loop(0, iters, body, q0 / jnp.linalg.norm(q0))
+    return jnp.where(q[0] < 0, -q, q)
+
+
+def _procrustes_pose(pw, pc, w):
+    """Weighted rigid fit pc ~= R @ pw + t (Horn's closed form)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu_w = jnp.sum(pw * w[:, None], axis=0) / wsum
+    mu_c = jnp.sum(pc * w[:, None], axis=0) / wsum
+    S = jnp.einsum("n,ni,nj->ij", w, pw - mu_w, pc - mu_c)
+    q = _horn_quat(S)
+    R = quat_to_mat(q)
+    t = mu_c - R @ mu_w
+    return R, t
+
+
+def _epnp_core(ctrl_w, alpha, pw, uv, w, fx, fy, cx, cy, n2: bool = True):
+    """EPnP given world control points + barycentric coords.
+
+    Builds the 2n x (3 nc) projection system, extracts the two smallest
+    null vectors via eigh(M^T M) (symmetric eigensolve — TPU-supported,
+    unlike general eig), resolves scale with the beta cases N=1 and N=2,
+    and fits the pose by weighted Procrustes; the better beta case by
+    weighted reprojection wins.
+    """
+    dtype = pw.dtype
+    nc = ctrl_w.shape[0]
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+
+    un = uv[:, 0] - cx
+    vn = uv[:, 1] - cy
+    sw = jnp.sqrt(w)
+    zeros = jnp.zeros_like(alpha)
+    mu = jnp.stack([alpha * fx, zeros, alpha * (-un)[:, None]], -1)  # [N,nc,3]
+    mv = jnp.stack([zeros, alpha * fy, alpha * (-vn)[:, None]], -1)
+    M = jnp.concatenate(
+        [mu.reshape(-1, 3 * nc) * sw[:, None],
+         mv.reshape(-1, 3 * nc) * sw[:, None]]
+    )
+    e1, e2 = _smallest_two_eigvecs(M.T @ M, second=n2)
+    v1 = e1.reshape(nc, 3)
+    v2 = e2.reshape(nc, 3)
+
+    ii, jj = jnp.triu_indices(nc, k=1)  # control-point pairs
+    dw = ctrl_w[ii] - ctrl_w[jj]
+    dv1 = v1[ii] - v1[jj]
+    dv2 = v2[ii] - v2[jj]
+    rho = jnp.sum(dw * dw, axis=1)
+
+    def finish(ctrl_c):
+        """Enforce cheirality, Procrustes, score."""
+        pc = alpha @ ctrl_c  # [N, 3] camera-frame points (up to sign)
+        zmean = jnp.sum(pc[:, 2] * w) / wsum
+        pc = jnp.where(zmean < 0, -pc, pc)
+        R, t = _procrustes_pose(pw, pc, w)
+        q = mat_to_quat(R)
+        errs = _reproj_errors(q, t, pw, uv, fx, fy, cx, cy)
+        err = jnp.sum(jnp.where(w > 0, errs, 0.0)) / wsum
+        return q, t, err
+
+    # Beta case N=1: x = beta * v1
+    b1 = jnp.sum(jnp.linalg.norm(dv1, axis=1) * jnp.sqrt(rho)) / jnp.maximum(
+        jnp.sum(jnp.sum(dv1 * dv1, axis=1)), 1e-12
+    )
+    qa, ta, ea = finish(b1 * v1)
+    if not n2:
+        return qa, ta, ea
+
+    # Beta case N=2: solve [|dv1|^2, 2<dv1,dv2>, |dv2|^2] y = rho for
+    # y = (b1^2, b1 b2, b2^2) by least squares.
+    L = jnp.stack(
+        [
+            jnp.sum(dv1 * dv1, axis=1),
+            2.0 * jnp.sum(dv1 * dv2, axis=1),
+            jnp.sum(dv2 * dv2, axis=1),
+        ],
+        axis=1,
+    )
+    LtL = L.T @ L + 1e-9 * jnp.eye(3, dtype=dtype)
+    y = jnp.linalg.solve(LtL, L.T @ rho)
+    b1_2 = jnp.sqrt(jnp.abs(y[0]))
+    b2_2 = jnp.sqrt(jnp.abs(y[2])) * jnp.sign(y[1]) * jnp.sign(y[0])
+    qb, tb, eb = finish(b1_2 * v1 + b2_2 * v2)
+
+    better_b = eb < ea
+    q = jnp.where(better_b, qb, qa)
+    t = jnp.where(better_b, tb, ta)
+    return q, t, jnp.where(better_b, eb, ea)
+
+
+def epnp_pose(pw, uv, w, fx, fy, cx, cy, full: bool = True):
+    """Weighted EPnP: closed-form camera-from-world pose, no prior.
+
+    The reference seeds its RANSAC with cv::solvePnPRansac(SOLVEPNP_EPNP)
+    (MultiviewGeometry.cpp:238).  Control points come from the weighted PCA
+    frame of the points; BOTH the general 4-control-point formulation and
+    the planar 3-control-point one are solved and the better one by
+    reprojection wins (a planar scene makes the 4-point system's last
+    control-point columns ~zero, flooding the nullspace with spurious
+    vectors — the classic EPnP planar degeneracy).
+
+    Returns (q, t, err): camera-from-world quaternion/translation and the
+    mean weighted reprojection error (callers gate on err >= 1e8 for
+    degenerate input).
+
+    full=False is the cheap per-hypothesis variant (4 control points,
+    beta case N=1 only): a RANSAC hypothesis only needs to land inside
+    the GN polish basin, and half the nullspace/Procrustes work per
+    hypothesis is the PnP stage's dominant cost.
+    """
+    dtype = pw.dtype
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+
+    c0 = jnp.sum(pw * w[:, None], axis=0) / wsum
+    d = pw - c0
+    cov = jnp.einsum("n,ni,nj->ij", w, d, d) / wsum
+    eval3, evec3 = jnp.linalg.eigh(cov)  # ascending
+    scale = jnp.sqrt(jnp.maximum(eval3, 1e-6 * eval3[2] + 1e-10))
+    axes = evec3 * scale[None, :]  # columns = (c_i - c0)
+
+    # General (4 control points): barycentric via the full PCA frame
+    ctrl4 = jnp.concatenate([c0[None], c0[None] + axes.T], axis=0)
+    beta4 = jnp.linalg.solve(axes, d.T).T  # [N, 3]
+    alpha4 = jnp.concatenate(
+        [1.0 - jnp.sum(beta4, 1, keepdims=True), beta4], 1
+    )
+    q4, t4, e4 = _epnp_core(ctrl4, alpha4, pw, uv, w, fx, fy, cx, cy,
+                            n2=full)
+    if not full:
+        finite = jnp.all(jnp.isfinite(q4)) & jnp.all(jnp.isfinite(t4)) \
+            & jnp.isfinite(e4)
+        q4 = jnp.where(finite, q4, jnp.array([1.0, 0, 0, 0], dtype))
+        t4 = jnp.where(finite, t4, jnp.zeros(3, dtype))
+        return q4, t4, jnp.where(finite, e4, 1e9)
+
+    # Planar (3 control points): the two leading axes only; out-of-plane
+    # residual is dropped (it is ~0 when this branch wins).
+    ax2 = axes[:, 1:]  # [3, 2] columns = in-plane axes
+    ctrl3 = jnp.concatenate([c0[None], c0[None] + ax2.T], axis=0)
+    A = ax2.T @ ax2 + 1e-12 * jnp.eye(2, dtype=dtype)
+    beta3 = jnp.linalg.solve(A, ax2.T @ d.T).T  # [N, 2]
+    alpha3 = jnp.concatenate(
+        [1.0 - jnp.sum(beta3, 1, keepdims=True), beta3], 1
+    )
+    q3, t3, e3 = _epnp_core(ctrl3, alpha3, pw, uv, w, fx, fy, cx, cy)
+
+    planar = e3 < e4
+    q = jnp.where(planar, q3, q4)
+    t = jnp.where(planar, t3, t4)
+    err = jnp.where(planar, e3, e4)
+    # Degenerate input (rank-deficient axes, all-zero weights) -> poison the
+    # error so callers fall back to other hypotheses.
+    finite = jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(t)) \
+        & jnp.isfinite(err)
+    q = jnp.where(finite, q, jnp.array([1.0, 0, 0, 0], dtype))
+    t = jnp.where(finite, t, jnp.zeros(3, dtype))
+    return q, t, jnp.where(finite, err, 1e9)
+
+
 def solve_pnp_ransac(
     pw,
     uv,
@@ -131,10 +363,11 @@ def solve_pnp_ransac(
 
     # --- hypothesis generation -------------------------------------------
     k_sub, k_pert = jax.random.split(key)
-    # minimal 4-subsets without replacement via Gumbel top-k over the mask
+    # random subsets without replacement via Gumbel top-k over the mask
+    n_sub = settings.epnp_subset if settings.flags >= 1 else 4
     gumbel = jax.random.gumbel(k_sub, (K, N), dtype=dtype)
     scores = jnp.where(match_mask[None, :], gumbel, -jnp.inf)
-    _, subset_idx = jax.lax.top_k(scores, 4)  # [K, 4]
+    _, subset_idx = jax.lax.top_k(scores, n_sub)  # [K, n_sub]
 
     perturb = (
         jax.random.normal(k_pert, (K, 6), dtype=dtype) * settings.perturbation
@@ -142,8 +375,20 @@ def solve_pnp_ransac(
     perturb = perturb.at[0].set(0.0)  # hypothesis 0 = unperturbed guess
 
     def fit_hypothesis(idx, d):
-        qh, th = apply_tangent(q0, t0, d)
         sub_w = jnp.zeros(N, dtype=dtype).at[idx].set(1.0) * maskf
+        if settings.flags >= 1:
+            # EPNP/P3P: prior-free closed-form solve on the subset,
+            # polished by subset GN (large unmodeled motion recoverable).
+            qe, te, ee = epnp_pose(pw, uv, sub_w, fx, fy, cx, cy,
+                                   full=False)
+            # a degenerate subset falls back to the (perturbed) prior
+            qp, tp = apply_tangent(q0, t0, d)
+            use_prior = ee >= 1e8
+            qh = jnp.where(use_prior, qp, qe)
+            th = jnp.where(use_prior, tp, te)
+        else:
+            # Iterative: GN from the perturbed prior (reference flag 0)
+            qh, th = apply_tangent(q0, t0, d)
         qh, th = _gn_refine(qh, th, pw, uv, sub_w, fx, fy, cx, cy,
                             settings.gn_iterations)
         errs = _reproj_errors(qh, th, pw, uv, fx, fy, cx, cy)
@@ -152,13 +397,27 @@ def solve_pnp_ransac(
 
     qs, ts, counts = jax.vmap(fit_hypothesis)(subset_idx, perturb)
 
-    # Hypothesis 0 also scored without its 4-point fit (pure guess), so a
+    # Hypothesis 0 also scored without its subset fit (pure guess), so a
     # good prior is never lost to a degenerate subset:
     errs0 = _reproj_errors(q0, t0, pw, uv, fx, fy, cx, cy)
     count0 = jnp.sum((errs0 <= settings.reproj_error) & match_mask)
     qs = jnp.concatenate([q0[None], qs])
     ts = jnp.concatenate([t0[None], ts])
     counts = jnp.concatenate([count0[None], counts])
+
+    if settings.flags >= 1:
+        # One global hypothesis: EPnP over ALL matches (n-point solve).
+        qg, tg, eg = epnp_pose(pw, uv, maskf, fx, fy, cx, cy)
+        qg2, tg2 = _gn_refine(qg, tg, pw, uv, maskf, fx, fy, cx, cy,
+                              settings.gn_iterations)
+        errg = _reproj_errors(qg2, tg2, pw, uv, fx, fy, cx, cy)
+        countg = jnp.where(
+            eg >= 1e8, -1,
+            jnp.sum((errg <= settings.reproj_error) & match_mask),
+        )
+        qs = jnp.concatenate([qs, qg2[None]])
+        ts = jnp.concatenate([ts, tg2[None]])
+        counts = jnp.concatenate([counts, countg[None]])
 
     best = jnp.argmax(counts)
     q, t = qs[best], ts[best]
