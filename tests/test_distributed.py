@@ -21,34 +21,77 @@ def mesh():
     return Mesh(devices, ("lm",))
 
 
+def pad_to_64(problem):
+    """Pad the landmark axis to 64 slots for 8-way sharding."""
+    pad = 64 - problem.lm_pos.shape[0]
+
+    def pad_lm(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    return problem._replace(
+        lm_pos=pad_lm(problem.lm_pos),
+        lm_valid=pad_lm(problem.lm_valid, False),
+        lm_fixed=pad_lm(problem.lm_fixed, False),
+        obs=pad_lm(problem.obs),
+        obs_mask=pad_lm(problem.obs_mask, False),
+    )
+
+
 class TestDistributedBA:
     def test_matches_single_device_convergence(self, rng, mesh):
-        # L=60 landmarks: pad to 64 for 8-way sharding
         problem, gt_q, gt_t, gt_lm, _ = synthetic_problem(rng)
-        pad = 64 - L
-
-        def pad_lm(x, fill=0):
-            return jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
-            )
-
-        problem = problem._replace(
-            lm_pos=pad_lm(problem.lm_pos),
-            lm_valid=pad_lm(problem.lm_valid, False),
-            lm_fixed=pad_lm(problem.lm_fixed, False),
-            obs=pad_lm(problem.obs),
-            obs_mask=pad_lm(problem.obs_mask, False),
-        )
-        q, t, lm = distributed_ba.distributed_local_optimize(
+        problem = pad_to_64(problem)
+        res = distributed_ba.distributed_local_optimize(
             problem, ba.BASettings(iterations=10), mesh
         )
-
-        class R:
-            pose_q, pose_t = q, t
-
-        terr, aerr = pose_errors(R, gt_q, gt_t)
+        assert bool(res.ok)
+        terr, aerr = pose_errors(res, gt_q, gt_t)
         assert float(terr.max()) < 2e-3, terr
         assert float(aerr.max()) < 2e-3
+
+    def test_exact_equivalence_on_contaminated_problem(self, rng, mesh):
+        """distributed_local_optimize IS local_optimize (same code under
+        shard_map): on a noisy problem WITH gross outliers, poses, landmark
+        write-backs, the demoted-edge set, chi2 and the ok flag must all
+        match the single-device solver (VERDICT r1 item 3)."""
+        problem, gt_q, gt_t, _, outlier_gt = synthetic_problem(
+            rng, noise_px=0.4, pose_noise=0.02, lm_noise=0.05, n_outliers=8,
+        )
+        problem = pad_to_64(problem)
+        settings = ba.BASettings(iterations=10)
+
+        res_s = ba.local_optimize(problem, settings)
+        res_d = distributed_ba.distributed_local_optimize(
+            problem, settings, mesh
+        )
+        assert bool(res_s.ok) and bool(res_d.ok)
+        # Identical algorithm, but psum-of-shards reassociates the f32
+        # landmark sums vs the single-device einsum -> differences bounded
+        # by reduction-order rounding (~1e-5 observed).
+        np.testing.assert_allclose(
+            np.asarray(res_d.pose_t), np.asarray(res_s.pose_t), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_d.pose_q), np.asarray(res_s.pose_q), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_d.lm_pos), np.asarray(res_s.lm_pos), atol=1e-3
+        )
+        # identical two-pass outlier demotion
+        assert (np.asarray(res_d.outliers) == np.asarray(res_s.outliers)).all()
+        # ... and the injected gross outliers are among the demoted edges
+        inj = np.zeros_like(np.asarray(res_s.outliers))
+        inj[: L] = np.asarray(outlier_gt)
+        assert np.asarray(res_d.outliers)[inj].all()
+        np.testing.assert_allclose(
+            float(res_d.chi2), float(res_s.chi2), rtol=1e-3
+        )
+        # and the contaminated problem still converges near the truth
+        # (noise-limited: 0.4 px observation noise over a 6-pose window)
+        terr, aerr = pose_errors(res_d, gt_q, gt_t)
+        assert float(terr.max()) < 1.5e-2
 
     def test_psum_equivalence_with_local_solver(self, rng, mesh):
         """Distributed GN must agree with the single-device normal equations

@@ -49,6 +49,13 @@ from .factors import (
 _MAX_POINT_MOTION = 5.0
 # Abort threshold for diverged optimization (Optimizer.cpp:276).
 _MAX_CHI2 = 1.0e12
+# Per-pose tangent step larger than this (m/rad) is dropped: a local-window
+# correction is never meters — such steps are f32 null-space amplification
+# through the tiny Tikhonov floor when a pose is rank-deficiently
+# constrained (e.g. laser-only scan match: a 2D grid cannot observe
+# z/roll/pitch, so (J^T J + eps I)^-1 blows rounding noise up by 1/eps
+# along the null space while chi2 stays flat).
+_MAX_POSE_STEP = 2.0
 
 
 class LaserData(NamedTuple):
@@ -138,8 +145,14 @@ def _stereo_terms(problem: BAProblem, lm_pos, pose_q, pose_t, active_mask,
     return r, w, chi2
 
 
-def _robust_chi2_total(problem, lm_pos, pose_q, pose_t, active_mask, settings):
-    """activeRobustChi2 equivalent: huberized stereo chi2 + link chi2."""
+def _robust_chi2_total(problem, lm_pos, pose_q, pose_t, active_mask, settings,
+                       axis_name=None):
+    """activeRobustChi2 equivalent: huberized stereo chi2 + link chi2.
+
+    With ``axis_name`` the landmark axis is a shard_map axis: the stereo sum
+    is psum'ed over it and the replicated link/laser terms are added once
+    (identically on every device).
+    """
     _, _, chi2 = _stereo_terms(
         problem, lm_pos, pose_q, pose_t, active_mask, settings
     )
@@ -150,6 +163,8 @@ def _robust_chi2_total(problem, lm_pos, pose_q, pose_t, active_mask, settings):
         chi2,
     )
     total = jnp.sum(rho * active_mask.astype(rho.dtype))
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
 
     r_link = _v_link_res(
         pose_q[:-1], pose_t[:-1], pose_q[1:], pose_t[1:],
@@ -173,11 +188,14 @@ def _robust_chi2_total(problem, lm_pos, pose_q, pose_t, active_mask, settings):
 
 
 def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
-                         active_mask, settings: BASettings):
+                         active_mask, settings: BASettings, axis_name=None):
     """Build the Schur-reducible normal equations.
 
     Returns (H_pp [6P,6P], g_p [6P], V [L,3,3], g_l [L,3], W [L,3,6P],
-    lm_free [L]).
+    lm_free [L]).  With ``axis_name`` the landmark axis is a shard_map
+    axis: landmark-summed pose terms are psum'ed over ICI and the
+    replicated link/laser terms are added once post-psum; the landmark-
+    indexed blocks (V, g_l, W) stay local to the shard.
     """
     P = pose_q.shape[0]
     L = lm_pos.shape[0]
@@ -204,6 +222,11 @@ def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
     H = jnp.zeros((6 * P, 6 * P), dtype=dtype)
     H = H.at[...].set(jax.scipy.linalg.block_diag(*[U[p] for p in range(P)]))
     g_p = g_p_blocks.reshape(6 * P)
+
+    if axis_name is not None:
+        # ICI reduction of the landmark-summed camera system; the link and
+        # laser terms below are replicated and must be added exactly once.
+        H, g_p = jax.lax.psum((H, g_p), axis_name)
 
     r_link = _v_link_res(
         pose_q[:-1], pose_t[:-1], pose_q[1:], pose_t[1:],
@@ -250,8 +273,15 @@ def _gn_normal_equations(problem: BAProblem, lm_pos, pose_q, pose_t,
     return H, g_p, V, g_l, W, lm_free
 
 
-def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
-    """Schur-marginalize landmarks, solve poses, back-substitute landmarks."""
+def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm,
+                 axis_name=None):
+    """Schur-marginalize landmarks, solve poses, back-substitute landmarks.
+
+    With ``axis_name`` (landmark axis sharded via shard_map), the Schur
+    subtraction terms are psum'ed over ICI; H/g_p arrive already reduced,
+    the pose solve is replicated, and landmark back-substitution stays
+    local to the shard.
+    """
     P6 = H.shape[0]
     dtype = H.dtype
     eye3 = jnp.eye(3, dtype=dtype)
@@ -273,8 +303,12 @@ def _solve_schur(H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm):
     # S = H - sum_l W_l^T V_l^{-1} W_l ; g_s = g_p - sum_l W_l^T V_l^{-1} g_l.
     # W is [L,3,6P]; W^T V^{-1} -> [L,6P,3].
     WtVi = jnp.einsum("laj,lab->ljb", W, V_inv * free[:, None, None])
-    S = Hd - jnp.einsum("ljb,lbk->jk", WtVi, W)
-    g_s = g_p - jnp.einsum("ljb,lb->j", WtVi, g_l)
+    S_sub = jnp.einsum("ljb,lbk->jk", WtVi, W)
+    g_sub = jnp.einsum("ljb,lb->j", WtVi, g_l)
+    if axis_name is not None:
+        S_sub, g_sub = jax.lax.psum((S_sub, g_sub), axis_name)
+    S = Hd - S_sub
+    g_s = g_p - g_sub
 
     # Clamp fixed/invalid poses: identity rows/cols, zero gradient.
     m = pose_free_mask.astype(dtype)  # [6P]
@@ -294,6 +328,8 @@ def _apply_updates(pose_q, pose_t, lm_pos, dx_p, dx_l, pose_fixed):
     P = pose_q.shape[0]
     deltas = dx_p.reshape(P, 6)
     deltas = jnp.where(pose_fixed[:, None], 0.0, deltas)
+    step_norm = jnp.linalg.norm(deltas, axis=-1)
+    deltas = jnp.where((step_norm < _MAX_POSE_STEP)[:, None], deltas, 0.0)
     new_q, new_t = jax.vmap(apply_tangent)(pose_q, pose_t, deltas)
     # Reference gate: reject landmark jumps >= 5 m (Optimizer.cpp write-back).
     motion = jnp.linalg.norm(dx_l, axis=-1)
@@ -302,7 +338,7 @@ def _apply_updates(pose_q, pose_t, lm_pos, dx_p, dx_l, pose_fixed):
 
 
 def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
-                   settings: BASettings, num_iters: int):
+                   settings: BASettings, num_iters: int, axis_name=None):
     """Run `num_iters` LM/GN iterations with a fixed active-edge mask."""
     P = pose_q.shape[0]
     pose_free = (~problem.pose_fixed) & problem.pose_valid
@@ -315,18 +351,25 @@ def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
         # every iteration would double the residual-assembly work.
         pose_q, pose_t, lm_pos, lam, chi2_cur = carry
         H, g_p, V, g_l, W, lm_free = _gn_normal_equations(
-            problem, lm_pos, pose_q, pose_t, active_mask, settings
+            problem, lm_pos, pose_q, pose_t, active_mask, settings,
+            axis_name,
         )
         dx_p, dx_l = _solve_schur(
-            H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm
+            H, g_p, V, g_l, W, lm_free, pose_free_mask, lam, use_lm,
+            axis_name,
         )
         cand_q, cand_t, cand_lm = _apply_updates(
             pose_q, pose_t, lm_pos, dx_p, dx_l, problem.pose_fixed
         )
         chi2_new = _robust_chi2_total(
-            problem, cand_lm, cand_q, cand_t, active_mask, settings
+            problem, cand_lm, cand_q, cand_t, active_mask, settings,
+            axis_name,
         )
-        accept = jnp.isfinite(chi2_new) & (chi2_new <= chi2_cur)
+        # accept/reject + lambda adaptation run on psum'ed (replicated)
+        # scalars: every shard takes the same branch.  STRICT decrease: a
+        # step that leaves chi2 flat moved only along unobservable
+        # directions (see _MAX_POSE_STEP) and must not be kept.
+        accept = jnp.isfinite(chi2_new) & (chi2_new < chi2_cur)
         accept = accept | (~use_lm)  # plain GN always steps
         pose_q = jnp.where(accept, cand_q, pose_q)
         pose_t = jnp.where(accept, cand_t, pose_t)
@@ -336,7 +379,7 @@ def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
         return pose_q, pose_t, lm_pos, lam, chi2_cur
 
     chi2_0 = _robust_chi2_total(
-        problem, lm_pos, pose_q, pose_t, active_mask, settings
+        problem, lm_pos, pose_q, pose_t, active_mask, settings, axis_name
     )
     init = (pose_q, pose_t, lm_pos,
             jnp.asarray(settings.init_lambda, dtype=pose_t.dtype), chi2_0)
@@ -344,12 +387,19 @@ def _optimize_pass(problem: BAProblem, pose_q, pose_t, lm_pos, active_mask,
     return pose_q, pose_t, lm_pos
 
 
-def local_optimize(problem: BAProblem, settings: BASettings) -> BAResult:
+def local_optimize(problem: BAProblem, settings: BASettings,
+                   axis_name=None) -> BAResult:
     """Two-pass sliding-window BA (Optimizer::localOptimize equivalent).
 
     Pass 1: iterations/2 over all edges.  Visual edges whose chi2 exceeds
     robustKernelDelta are then demoted (reported as outliers,
     Optimizer.cpp:289-301).  Pass 2: iterations/2 over the surviving edges.
+
+    ``axis_name``: when called inside shard_map with the landmark axis
+    sharded (parallel/distributed_ba.py), the landmark reductions become
+    ICI psums and everything else — LM accept/reject, demotion thresholds,
+    divergence checks — runs identically on replicated values, so the
+    distributed solver IS this solver.
     """
     half = max(settings.iterations // 2, 1)
     base_mask = problem.obs_mask & problem.lm_valid[:, None] \
@@ -358,24 +408,27 @@ def local_optimize(problem: BAProblem, settings: BASettings) -> BAResult:
 
     q1, t1, l1 = _optimize_pass(
         problem, problem.pose_q, problem.pose_t, problem.lm_pos, active,
-        settings, half,
+        settings, half, axis_name,
     )
 
     _, _, chi2 = _stereo_terms(problem, l1, q1, t1, active, settings)
     outliers = base_mask & (chi2 > settings.robust_delta) \
         if settings.robust_delta > 0.0 else jnp.zeros_like(base_mask)
 
-    chi2_mid = _robust_chi2_total(problem, l1, q1, t1, active, settings)
+    chi2_mid = _robust_chi2_total(problem, l1, q1, t1, active, settings,
+                                  axis_name)
     diverged1 = ~jnp.isfinite(chi2_mid) | (chi2_mid > _MAX_CHI2)
 
     if settings.robust_delta > 0.0:
         active2 = (base_mask & ~outliers).astype(active.dtype)
-        q2, t2, l2 = _optimize_pass(problem, q1, t1, l1, active2, settings, half)
+        q2, t2, l2 = _optimize_pass(problem, q1, t1, l1, active2, settings,
+                                    half, axis_name)
     else:
         active2 = active
         q2, t2, l2 = q1, t1, l1
 
-    chi2_end = _robust_chi2_total(problem, l2, q2, t2, active2, settings)
+    chi2_end = _robust_chi2_total(problem, l2, q2, t2, active2, settings,
+                                  axis_name)
     diverged2 = ~jnp.isfinite(chi2_end) | (chi2_end > _MAX_CHI2)
     ok = ~(diverged1 | diverged2)
 
