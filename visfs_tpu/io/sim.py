@@ -221,6 +221,433 @@ def _scan_rectangle_room(pose, room, n_beams, rng, noise=0.0):
     return np.stack([rx, ry, np.zeros_like(rx)], axis=-1).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Textured world renderer
+#
+# The splat starfield above gives exact correspondences but zero photometric
+# realism.  The generator below ray-casts a closed rectangular room (4 walls,
+# floor, ceiling) plus floor-to-ceiling pillars, all carrying multi-octave
+# procedural value-noise textures: real occlusion (nearest-hit z test),
+# dense trackable gradient structure, per-frame exposure drift and pixel
+# noise.  This is the evaluation substrate standing in for the reference's
+# real rosbag operation (reference README.md:44-56,
+# Interface/ROS/src/InterfaceROS.cpp:180-223).
+# ---------------------------------------------------------------------------
+
+
+class _Plane(NamedTuple):
+    p0: np.ndarray  # [3] point on plane
+    n: np.ndarray  # [3] unit normal
+    e1: np.ndarray  # [3] in-plane u axis
+    e2: np.ndarray  # [3] in-plane v axis
+    u0: float
+    u1: float
+    v0: float
+    v1: float
+    grid: np.ndarray  # [S, S] base noise grid
+
+
+_TEX_OCTAVES = (
+    # (world cell size m, weight, sharp): sharp = nearest-neighbor mosaic
+    # (piecewise-constant cells => strong GFTT corners at cell boundaries)
+    (1.1, 0.34, False),
+    (0.33, 0.33, False),
+    (0.13, 0.33, True),
+)
+
+
+def _sample_tex(grid: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Multi-octave value noise in [0, 1] at world coords (u, v)."""
+    S = grid.shape[0]
+    out = np.zeros_like(u)
+    for cell, w, sharp in _TEX_OCTAVES:
+        gu = u / cell
+        gv = v / cell
+        iu = np.floor(gu).astype(np.int64)
+        iv = np.floor(gv).astype(np.int64)
+        if sharp:
+            out += w * grid[iu % S, iv % S]
+        else:
+            fu = gu - iu
+            fv = gv - iv
+            g00 = grid[iu % S, iv % S]
+            g10 = grid[(iu + 1) % S, iv % S]
+            g01 = grid[iu % S, (iv + 1) % S]
+            g11 = grid[(iu + 1) % S, (iv + 1) % S]
+            out += w * ((g00 * (1 - fu) + g10 * fu) * (1 - fv)
+                        + (g01 * (1 - fu) + g11 * fu) * fv)
+    return out
+
+
+def _bounded_plane(rng, p0, n, e1, e2, u01, v01) -> _Plane:
+    return _Plane(
+        p0=np.asarray(p0, np.float64), n=np.asarray(n, np.float64),
+        e1=np.asarray(e1, np.float64), e2=np.asarray(e2, np.float64),
+        u0=u01[0], u1=u01[1], v0=v01[0], v1=v01[1],
+        grid=rng.uniform(0.0, 1.0, (64, 64)),
+    )
+
+
+def _make_world(rng, room, z_floor, z_ceil, n_pillars, traj_xy):
+    """Planes (walls/floor/ceiling/pillar faces) + pillar AABBs for laser."""
+    x0, x1, y0, y1 = room
+    planes = [
+        # wall x = x1 (front), normal -x, coords (y, z)
+        _bounded_plane(rng, (x1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, 0, 1),
+                       (y0, y1), (z_floor, z_ceil)),
+        # wall x = x0 (back)
+        _bounded_plane(rng, (x0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                       (y0, y1), (z_floor, z_ceil)),
+        # wall y = y1 (left)
+        _bounded_plane(rng, (0, y1, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1),
+                       (x0, x1), (z_floor, z_ceil)),
+        # wall y = y0 (right)
+        _bounded_plane(rng, (0, y0, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1),
+                       (x0, x1), (z_floor, z_ceil)),
+        # floor / ceiling
+        _bounded_plane(rng, (0, 0, z_floor), (0, 0, 1), (1, 0, 0), (0, 1, 0),
+                       (x0, x1), (y0, y1)),
+        _bounded_plane(rng, (0, 0, z_ceil), (0, 0, -1), (1, 0, 0), (0, 1, 0),
+                       (x0, x1), (y0, y1)),
+    ]
+    pillars = []
+    tries = 0
+    while len(pillars) < n_pillars and tries < 200:
+        tries += 1
+        cx = rng.uniform(x0 + 2.0, x1 - 2.0)
+        cy = rng.uniform(y0 + 1.5, y1 - 1.5)
+        w = rng.uniform(0.4, 0.9)
+        h = rng.uniform(0.4, 0.9)
+        # keep clear of the trajectory (camera inside a pillar = blank view)
+        d = np.hypot(traj_xy[:, 0] - cx, traj_xy[:, 1] - cy)
+        if d.min() < 1.2 + max(w, h):
+            continue
+        bx0, bx1 = cx - w / 2, cx + w / 2
+        by0, by1 = cy - h / 2, cy + h / 2
+        pillars.append((bx0, bx1, by0, by1))
+        planes += [
+            _bounded_plane(rng, (bx1, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                           (by0, by1), (z_floor, z_ceil)),
+            _bounded_plane(rng, (bx0, 0, 0), (-1, 0, 0), (0, 1, 0), (0, 0, 1),
+                           (by0, by1), (z_floor, z_ceil)),
+            _bounded_plane(rng, (0, by1, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1),
+                           (bx0, bx1), (z_floor, z_ceil)),
+            _bounded_plane(rng, (0, by0, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1),
+                           (bx0, bx1), (z_floor, z_ceil)),
+        ]
+    return planes, pillars
+
+
+def _render_world(planes, origin, r_wi, fx, fy, cx, cy, width, height,
+                  t_min=0.25):
+    """Ray-cast one camera view.  Returns (image [H,W] in [0,1], z-depth)."""
+    us, vs = np.meshgrid(np.arange(width, dtype=np.float64),
+                         np.arange(height, dtype=np.float64))
+    # image-frame dirs with z = 1 => ray parameter t IS the z-depth
+    d_img = np.stack([(us.ravel() - cx) / fx, (vs.ravel() - cy) / fy,
+                      np.ones(width * height)], axis=-1)
+    d_w = d_img @ r_wi.T
+    n_px = d_w.shape[0]
+    best_t = np.full(n_px, np.inf)
+    best_pl = np.full(n_px, -1, np.int32)
+    # pass 1: nearest valid hit per pixel (cheap: no texture sampling)
+    cache = []
+    for k, pl in enumerate(planes):
+        denom = d_w @ pl.n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((pl.p0 - origin) @ pl.n) / denom
+        hit = origin + t[:, None] * d_w
+        uu = (hit - pl.p0) @ pl.e1
+        vv = (hit - pl.p0) @ pl.e2
+        valid = ((np.abs(denom) > 1e-12) & (t > t_min)
+                 & (uu >= pl.u0) & (uu <= pl.u1)
+                 & (vv >= pl.v0) & (vv <= pl.v1))
+        closer = valid & (t < best_t)
+        best_t = np.where(closer, t, best_t)
+        best_pl = np.where(closer, k, best_pl)
+        cache.append((uu, vv))
+    # pass 2: sample texture only on winning pixels
+    img = np.zeros(n_px)
+    for k, pl in enumerate(planes):
+        sel = best_pl == k
+        if not sel.any():
+            continue
+        uu, vv = cache[k]
+        img[sel] = _sample_tex(pl.grid, uu[sel], vv[sel])
+    depth = np.where(np.isfinite(best_t), best_t, 0.0)
+    return img.reshape(height, width), depth.reshape(height, width)
+
+
+def _square_path(room, margin=4.0, corner_radius=1.5):
+    """Rounded-rectangle loop inset `margin` from the room walls.
+
+    Returns (perimeter_length, point(s) -> (x, y, yaw_unwrapped)).
+    """
+    x0, x1, y0, y1 = room
+    ax0, ax1 = x0 + margin, x1 - margin
+    ay0, ay1 = y0 + margin, y1 - margin
+    r = corner_radius
+    lw = (ax1 - ax0) - 2 * r  # straight length along x
+    lh = (ay1 - ay0) - 2 * r  # straight length along y
+    arc = 0.5 * np.pi * r
+    # pieces: (kind, length, data); yaw accumulates continuously
+    pieces = []
+    pieces.append(("s", lw, ((ax0 + r, ay0), (1.0, 0.0), 0.0)))
+    pieces.append(("a", arc, ((ax1 - r, ay0 + r), -0.5 * np.pi, 0.0)))
+    pieces.append(("s", lh, ((ax1, ay0 + r), (0.0, 1.0), 0.5 * np.pi)))
+    pieces.append(("a", arc, ((ax1 - r, ay1 - r), 0.0, 0.5 * np.pi)))
+    pieces.append(("s", lw, ((ax1 - r, ay1), (-1.0, 0.0), np.pi)))
+    pieces.append(("a", arc, ((ax0 + r, ay1 - r), 0.5 * np.pi, np.pi)))
+    pieces.append(("s", lh, ((ax0, ay1 - r), (0.0, -1.0), 1.5 * np.pi)))
+    pieces.append(("a", arc, ((ax0 + r, ay0 + r), np.pi, 1.5 * np.pi)))
+    total = sum(p[1] for p in pieces)
+
+    def point(s):
+        laps, s = divmod(s, total)
+        yaw_base = laps * 2.0 * np.pi
+        for kind, length, data in pieces:
+            if s <= length or (kind is pieces[-1][0] and data is pieces[-1][2]):
+                if s > length:
+                    s = length
+                if kind == "s":
+                    (sx, sy), (dx, dy), yaw = data
+                    return (sx + dx * s, sy + dy * s, yaw_base + yaw)
+                (ccx, ccy), ang0, yaw0 = data
+                dang = s / corner_radius
+                a = ang0 + dang
+                return (ccx + corner_radius * np.cos(a),
+                        ccy + corner_radius * np.sin(a),
+                        yaw_base + yaw0 + dang)
+            s -= length
+        raise AssertionError
+
+    return total, point
+
+
+def _trajectory(motion, n_frames, fps, room, loops=1.0, speed=None):
+    """Per-frame (x, y, yaw_unwrapped) arrays for each motion profile."""
+    ts = np.arange(n_frames) / fps
+    if motion == "forward":
+        return 0.35 * ts, np.zeros(n_frames), np.zeros(n_frames)
+    if motion == "yaw":
+        return np.zeros(n_frames), np.zeros(n_frames), 0.25 * ts
+    if motion == "arc":
+        return 0.35 * ts, 0.04 * ts * ts, 0.08 * ts
+    if motion == "square":
+        total, point = _square_path(room)
+        if speed is None:
+            speed = loops * total / max(ts[-1], 1e-9)
+        xyy = np.array([point(speed * t) for t in ts])
+        return xyy[:, 0], xyy[:, 1], xyy[:, 2]
+    raise ValueError(f"unknown motion {motion!r}")
+
+
+def _wheel_odom_from_traj(xs, ys, yaws, n_frames, fps, odom_rate, rng,
+                          drift_xy=0.0, drift_yaw=0.0):
+    """Wheel odometry samples with random-walk drift (integrated wheel
+    error — NOT white noise on absolute pose: the extrapolator
+    differentiates consecutive samples, so white noise would alias into
+    huge velocity noise that no real encoder produces)."""
+    n_odom = int(np.ceil((n_frames - 1) / fps * odom_rate)) + 2
+    odom = np.zeros((n_odom, 8), dtype=np.float64)
+    dt = 1.0 / odom_rate
+    dx = dy = dyaw = 0.0
+    for k in range(n_odom):
+        t = k * dt
+        tf = min(t * fps, n_frames - 1)
+        i0 = int(np.floor(tf))
+        i1 = min(i0 + 1, n_frames - 1)
+        a = tf - i0
+        x = (1 - a) * xs[i0] + a * xs[i1] + dx
+        y = (1 - a) * ys[i0] + a * ys[i1] + dy
+        yaw = (1 - a) * yaws[i0] + a * yaws[i1] + dyaw
+        odom[k] = [t, x, y, 0.0, 0.0, 0.0, yaw, 1.0]
+        if drift_xy > 0:
+            dx += rng.normal(scale=drift_xy * np.sqrt(dt))
+            dy += rng.normal(scale=drift_xy * np.sqrt(dt))
+        if drift_yaw > 0:
+            dyaw += rng.normal(scale=drift_yaw * np.sqrt(dt))
+    return odom
+
+
+def _scan_world(pose, room, pillars, n_beams, rng, noise=0.0):
+    """2D laser scan of the room walls + pillar AABBs (robot frame)."""
+    x0, x1, y0, y1 = room
+    px, py = pose[0, 3], pose[1, 3]
+    yaw = np.arctan2(pose[1, 0], pose[0, 0])
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    world_ang = angles + yaw
+    dx = np.cos(world_ang)
+    dy = np.sin(world_ang)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.where(dx > 0, (x1 - px) / dx,
+                      np.where(dx < 0, (x0 - px) / dx, np.inf))
+        ty = np.where(dy > 0, (y1 - py) / dy,
+                      np.where(dy < 0, (y0 - py) / dy, np.inf))
+        t = np.minimum(tx, ty)
+        for (bx0, bx1, by0, by1) in pillars:
+            t1x = (bx0 - px) / np.where(dx == 0, 1e-12, dx)
+            t2x = (bx1 - px) / np.where(dx == 0, 1e-12, dx)
+            t1y = (by0 - py) / np.where(dy == 0, 1e-12, dy)
+            t2y = (by1 - py) / np.where(dy == 0, 1e-12, dy)
+            tnear = np.maximum(np.minimum(t1x, t2x), np.minimum(t1y, t2y))
+            tfar = np.minimum(np.maximum(t1x, t2x), np.maximum(t1y, t2y))
+            hit = (tnear <= tfar) & (tnear > 0)
+            t = np.where(hit, np.minimum(t, tnear), t)
+    if noise > 0:
+        t = t + rng.normal(scale=noise, size=t.shape)
+    rx = t * np.cos(angles)
+    ry = t * np.sin(angles)
+    return np.stack([rx, ry, np.zeros_like(rx)], axis=-1).astype(np.float32)
+
+
+def generate_textured_sequence(
+    n_frames: int = 300,
+    width: int = 320,
+    height: int = 240,
+    motion: str = "square",
+    seed: int = 0,
+    fps: float = 10.0,
+    odom_rate: float = 100.0,
+    odom_drift_xy: float = 0.01,
+    odom_drift_yaw: float = 0.002,
+    camera: StereoCamera | None = None,
+    with_laser: bool = False,
+    n_beams: int = 180,
+    room: tuple = (-3.0, 18.0, -8.0, 8.0),
+    z_floor: float = -0.6,
+    z_ceil: float = 1.4,
+    n_pillars: int = 6,
+    pixel_noise: float = 2.0,
+    exposure_drift: float = 0.02,
+    laser_noise: float = 0.0,
+    with_depth: bool = False,
+    loops: float = 1.0,
+    speed: float | None = None,
+) -> SimSequence:
+    """Render a textured closed-room sequence with occlusion + noise.
+
+    motion='square' drives a rounded-rectangle loop (`loops` laps over the
+    sequence) that revisits its start — the drifted-loop-closure substrate.
+    """
+    rng = np.random.default_rng(seed)
+    cam = camera if camera is not None else default_camera(width, height)
+
+    xs, ys, yaws = _trajectory(motion, n_frames, fps, room, loops, speed)
+    poses = np.stack([
+        np.asarray(xyzrpy_to_mat(*[jnp.float32(v) for v in
+                                   (xs[i], ys[i], 0.0, 0.0, 0.0, yaws[i])]))
+        for i in range(n_frames)
+    ]).astype(np.float32)
+
+    planes, pillars = _make_world(
+        rng, room, z_floor, z_ceil, n_pillars, np.stack([xs, ys], -1)
+    )
+
+    t_ri = np.asarray(cam.t_ri, np.float64)  # image -> robot
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    baseline = float(cam.baseline)
+
+    gain, bias = 1.0, 0.0
+    lefts, rights, depths = [], [], []
+    for i in range(n_frames):
+        t_wi = poses[i].astype(np.float64) @ t_ri
+        r_wi = t_wi[:3, :3]
+        o_l = t_wi[:3, 3]
+        o_r = o_l + r_wi @ np.array([baseline, 0.0, 0.0])
+        img_l, dep = _render_world(planes, o_l, r_wi, fx, fy, cx, cy,
+                                   width, height)
+        img_r, _ = _render_world(planes, o_r, r_wi, fx, fy, cx, cy,
+                                 width, height)
+        for img, dst in ((img_l, lefts), (img_r, rights)):
+            out = (img * 175.0 + 35.0) * gain + bias
+            if pixel_noise > 0:
+                out = out + rng.normal(scale=pixel_noise, size=out.shape)
+            dst.append(np.clip(out, 0.0, 255.0).astype(np.float32))
+        if with_depth:
+            depths.append(dep.astype(np.float32))
+        if exposure_drift > 0:
+            gain = float(np.clip(gain * np.exp(
+                rng.normal(scale=exposure_drift)), 0.6, 1.6))
+            bias = float(np.clip(bias + rng.normal(scale=exposure_drift * 40),
+                                 -25.0, 25.0))
+
+    stamps = np.arange(n_frames, dtype=np.float64) / fps
+    odom = _wheel_odom_from_traj(
+        xs, ys, yaws, n_frames, fps, odom_rate, rng,
+        drift_xy=odom_drift_xy, drift_yaw=odom_drift_yaw,
+    )
+    laser_scans = None
+    if with_laser:
+        laser_scans = np.stack([
+            _scan_world(poses[i], room, pillars, n_beams, rng, laser_noise)
+            for i in range(n_frames)
+        ])
+
+    return SimSequence(
+        left=np.stack(lefts), right=np.stack(rights), stamps=stamps,
+        poses=poses, wheel_odom=odom, points=np.zeros((0, 3), np.float32),
+        camera=cam, laser_scans=laser_scans,
+        room=room if with_laser else None,
+        depth=np.stack(depths) if with_depth else None,
+    )
+
+
+_SIM_CACHE_VERSION = 1
+
+
+def cached_textured_sequence(**kwargs) -> SimSequence:
+    """generate_textured_sequence with an on-disk npz cache (long sequences
+    take ~0.1 s/frame to ray-cast; benchmarks reuse them across runs)."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    key = _json.dumps({**kwargs, "_v": _SIM_CACHE_VERSION}, sort_keys=True)
+    digest = hashlib.sha256(key.encode()).hexdigest()[:20]
+    cache_dir = os.environ.get(
+        "VISFS_SIM_CACHE",
+        os.path.join(tempfile.gettempdir(), "visfs_sim_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"seq_{digest}.npz")
+    cam = kwargs.get("camera") or default_camera(
+        kwargs.get("width", 320), kwargs.get("height", 240)
+    )
+    if os.path.exists(path):
+        try:
+            z = np.load(path, allow_pickle=False)
+            return SimSequence(
+                left=z["left"].astype(np.float32),
+                right=z["right"].astype(np.float32),
+                stamps=z["stamps"], poses=z["poses"],
+                wheel_odom=z["wheel_odom"], points=z["points"], camera=cam,
+                laser_scans=z["laser_scans"] if "laser_scans" in z else None,
+                room=tuple(z["room"]) if "room" in z else None,
+                depth=z["depth"] if "depth" in z else None,
+            )
+        except Exception:
+            pass  # stale/corrupt cache: regenerate
+    seq = generate_textured_sequence(**{k: v for k, v in kwargs.items()})
+    arrays = dict(
+        left=np.clip(seq.left, 0, 255).astype(np.uint8),
+        right=np.clip(seq.right, 0, 255).astype(np.uint8),
+        stamps=seq.stamps, poses=seq.poses, wheel_odom=seq.wheel_odom,
+        points=seq.points,
+    )
+    if seq.laser_scans is not None:
+        arrays["laser_scans"] = seq.laser_scans
+        arrays["room"] = np.asarray(seq.room)
+    if seq.depth is not None:
+        arrays["depth"] = seq.depth
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+    return seq
+
+
 def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray) -> float:
     """Absolute trajectory error RMSE over translations (poses [T,4,4]).
 
