@@ -356,6 +356,7 @@ def _render_world(planes, origin, r_wi, fx, fy, cx, cy, width, height,
         denom = d_w @ pl.n
         with np.errstate(divide="ignore", invalid="ignore"):
             t = ((pl.p0 - origin) @ pl.n) / denom
+            t = np.where(np.isfinite(t), t, -1.0)  # parallel ray: no hit
         hit = origin + t[:, None] * d_w
         uu = (hit - pl.p0) @ pl.e1
         vv = (hit - pl.p0) @ pl.e2
@@ -534,6 +535,15 @@ def generate_textured_sequence(
     cam = camera if camera is not None else default_camera(width, height)
 
     xs, ys, yaws = _trajectory(motion, n_frames, fps, room, loops, speed)
+    # Odometry starts at identity (VISFS convention); shift the WORLD so the
+    # first pose is the origin (square paths start inset from the walls).
+    x_off, y_off = float(xs[0]), float(ys[0])
+    if x_off or y_off:
+        assert abs(yaws[0]) < 1e-9, "trajectory must start with yaw 0"
+        xs = xs - x_off
+        ys = ys - y_off
+        room = (room[0] - x_off, room[1] - x_off,
+                room[2] - y_off, room[3] - y_off)
     poses = np.stack([
         np.asarray(xyzrpy_to_mat(*[jnp.float32(v) for v in
                                    (xs[i], ys[i], 0.0, 0.0, 0.0, yaws[i])]))
@@ -594,7 +604,7 @@ def generate_textured_sequence(
     )
 
 
-_SIM_CACHE_VERSION = 1
+_SIM_CACHE_VERSION = 2
 
 
 def cached_textured_sequence(**kwargs) -> SimSequence:
@@ -642,7 +652,7 @@ def cached_textured_sequence(**kwargs) -> SimSequence:
         arrays["room"] = np.asarray(seq.room)
     if seq.depth is not None:
         arrays["depth"] = seq.depth
-    tmp = path + ".tmp"
+    tmp = path + ".tmp.npz"  # savez appends .npz unless already suffixed
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
     return seq

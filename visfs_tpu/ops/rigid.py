@@ -51,26 +51,42 @@ def kabsch(p_a, p_b, w):
 
 def estimate_rigid_3d(p_a, p_b, mask, key, n_hypotheses: int = 32,
                       inlier_threshold: float = 0.15,
-                      min_inliers: int = 6, refine_iterations: int = 3):
+                      min_inliers: int = 6, refine_iterations: int = 3,
+                      point_sigma=None):
     """RANSAC rigid alignment of matched 3D point sets.
 
     p_a/p_b: [N, 3] corresponding points, mask: [N] valid matches.
     Minimal 3-point Kabsch hypotheses scored by 3D inlier count, then IRLS
     refinement (full Kabsch on the inlier set, re-gating each round).
+
+    point_sigma: optional [N] per-match 1-sigma 3D uncertainty.  Stereo
+    triangulation error grows as z^2 * sigma_px / bf, so a fixed metric
+    gate either rejects every far point or accepts garbage near ones; with
+    point_sigma the gate becomes max(inlier_threshold, 3 * sigma_n),
+    minimal-set sampling is biased toward certain (near) points, and the
+    refit is inverse-variance weighted.
     """
     N = p_a.shape[0]
     dtype = p_a.dtype
     maskf = mask.astype(dtype)
+    if point_sigma is None:
+        thresh = jnp.full((N,), inlier_threshold, dtype)
+        conf = jnp.zeros((N,), dtype)  # uniform sampling
+        wref = maskf
+    else:
+        thresh = jnp.maximum(inlier_threshold, 3.0 * point_sigma)
+        conf = -jnp.log(jnp.maximum(point_sigma, 1e-4))
+        wref = maskf / jnp.maximum(point_sigma, 1e-4) ** 2
 
     gumbel = jax.random.gumbel(key, (n_hypotheses, N), dtype=dtype)
-    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    scores = jnp.where(mask[None, :], gumbel + conf[None, :], -jnp.inf)
     _, subset_idx = jax.lax.top_k(scores, 3)  # [K, 3]
 
     def fit(idx):
         w = jnp.zeros(N, dtype).at[idx].set(1.0) * maskf
         R, t = kabsch(p_a, p_b, w)
         err = jnp.linalg.norm(p_a - (p_b @ R.T + t), axis=-1)
-        inl = (err <= inlier_threshold) & mask
+        inl = (err <= thresh) & mask
         return R, t, jnp.sum(inl)
 
     Rs, ts, counts = jax.vmap(fit)(subset_idx)
@@ -80,14 +96,15 @@ def estimate_rigid_3d(p_a, p_b, mask, key, n_hypotheses: int = 32,
     def refine(_, carry):
         R, t = carry
         err = jnp.linalg.norm(p_a - (p_b @ R.T + t), axis=-1)
-        w = ((err <= inlier_threshold) & mask).astype(dtype)
+        inl = (err <= thresh) & mask
+        w = inl.astype(dtype) * wref
         R2, t2 = kabsch(p_a, p_b, w)
-        keep = jnp.sum(w) >= 3
+        keep = jnp.sum(inl) >= 3
         return (jnp.where(keep, R2, R), jnp.where(keep, t2, t))
 
     R, t = jax.lax.fori_loop(0, refine_iterations, refine, (R, t))
     err = jnp.linalg.norm(p_a - (p_b @ R.T + t), axis=-1)
-    inliers = (err <= inlier_threshold) & mask
+    inliers = (err <= thresh) & mask
     n_inl = jnp.sum(inliers)
     finite = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
     return RigidResult(rotation=R, translation=t, inliers=inliers,

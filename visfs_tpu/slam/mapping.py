@@ -215,7 +215,7 @@ class MappingBackend:
         return np.asarray(pairs)[np.asarray(valid)]
 
     def close_loops(self, cam, radius: float = 2.0, min_gap: int = 10,
-                    min_inliers: int = 10, min_ncc: float = 0.6,
+                    min_inliers: int = 10, min_ncc: float = 0.4,
                     seed: int = 0) -> int:
         """Propose, geometrically verify, and insert loop closures.
 
@@ -276,15 +276,19 @@ class KeyframeSnapshot(NamedTuple):
     valid: jnp.ndarray  # [M] bool
 
 
-@partial(jax.jit, static_argnames=("max_kp", "patch_size"))
+@partial(jax.jit, static_argnames=("max_kp", "patch_size", "scales"))
 def snapshot_features(features, left_img, cam, max_kp: int = 64,
-                      patch_size: int = 8):
+                      patch_size: int = 8, scales: tuple = (1, 3, 6)):
     """Build a KeyframeSnapshot from the live feature table + left image.
 
     Selects the `max_kp` longest-tracked features with a current
-    observation and valid depth, and extracts normalized patches around
-    them (an appearance descriptor in the spirit of the intensity windows
-    the KLT front-end already tracks).
+    observation and valid depth, and builds a multi-scale appearance
+    descriptor: for each scale s a ``patch_size x patch_size`` grid
+    average-pooled from a ``patch_size*s`` pixel window, each block
+    zero-mean/unit-norm, concatenated.  The coarse scales add spatial
+    context (discriminative on fine/repetitive texture where a raw 8 px
+    window self-matches everywhere) while the fine scale keeps precision;
+    pooling low-passes away pixel noise and small revisit misalignment.
     """
     from ..ops.image import extract_patch_bilinear
     from .tracker import backproject
@@ -299,39 +303,55 @@ def snapshot_features(features, left_img, cam, max_kp: int = 64,
     depth = features.depth[idx, cur]
     p_robot = backproject(cam, uv, depth)
 
-    patches = jax.vmap(
-        lambda c: extract_patch_bilinear(left_img, c, patch_size)
-    )(uv).reshape(max_kp, patch_size * patch_size)
-    mean = jnp.mean(patches, axis=1, keepdims=True)
-    cen = patches - mean
-    norm = jnp.linalg.norm(cen, axis=1, keepdims=True)
-    patches = cen / jnp.maximum(norm, 1e-6)
+    blocks = []
+    for s in scales:
+        raw = jax.vmap(
+            lambda c: extract_patch_bilinear(left_img, c, patch_size * s)
+        )(uv)
+        pooled = raw.reshape(
+            max_kp, patch_size, s, patch_size, s
+        ).mean(axis=(2, 4)).reshape(max_kp, patch_size * patch_size)
+        cen = pooled - jnp.mean(pooled, axis=1, keepdims=True)
+        blocks.append(
+            cen / jnp.maximum(jnp.linalg.norm(cen, axis=1, keepdims=True),
+                              1e-6)
+        )
+    patches = jnp.concatenate(blocks, axis=1) / jnp.sqrt(
+        jnp.asarray(float(len(scales)), left_img.dtype)
+    )
     return KeyframeSnapshot(uv=uv, p_robot=p_robot, patch=patches,
                             valid=sel_ok)
 
 
 @partial(jax.jit, static_argnames=("min_inliers", "min_ncc", "ratio",
-                                   "inlier_threshold"))
+                                   "px_gate", "depth_sigma_px"))
 def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
-                rng_key, min_inliers: int = 10, min_ncc: float = 0.6,
-                ratio: float = 0.95, inlier_threshold: float = 0.3):
+                rng_key, min_inliers: int = 10, min_ncc: float = 0.4,
+                ratio: float = 0.99, px_gate: float = 3.0,
+                depth_sigma_px: float = 0.5):
     """Geometric verification of a loop candidate (i, j).
 
     Three stages:
       1. appearance matching: normalized cross-correlation of the intensity
          patches (mutual nearest + ratio test);
-      2. global initialization: 3D-3D Kabsch RANSAC on the matched
-         stereo-triangulated points (ops/rigid.py) — closed-form, needs no
-         pose prior, so large-viewpoint loops are handled (unlike seeding a
-         local PnP solver with identity);
-      3. precision + gating: PnP RANSAC (2-D reprojection, far less noisy
-         than triangulated depth) seeded with the Kabsch estimate.
+      2. global initialization: 3-point Kabsch minimal solves on the matched
+         stereo-triangulated points (closed-form, needs no pose prior, so
+         large-viewpoint loops are handled — unlike seeding a local PnP
+         solver with identity), RANSAC-scored by REPROJECTION error in j's
+         image.  Scoring in pixels rather than 3D matters: triangulated
+         range error grows as z^2/bf, so any metric 3D gate either rejects
+         every far landmark or accepts garbage; pixel error is
+         depth-insensitive.  Minimal-set sampling is still biased toward
+         near (range-certain) points.
+      3. precision + gating: PnP RANSAC (same pixel residual) seeded with
+         the best Kabsch hypothesis.
 
     Returns (rel [4,4] = T_ri_rj, ok, n_inliers).
     """
-    from ..core.lie import mat_to_quat
+    from ..core.camera import project
+    from ..core.lie import mat_apply, mat_to_quat
     from ..ops import pnp
-    from ..ops.rigid import estimate_rigid_3d
+    from ..ops.rigid import kabsch
 
     if snap_i.uv.shape[0] != snap_j.uv.shape[0]:
         raise ValueError(
@@ -355,14 +375,44 @@ def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
     )
 
     # Coarse rel: p_i ~= R p_j + t (j-frame robot coords into i's frame).
+    # 3-point Kabsch minimal solves; hypotheses scored by reprojection of
+    # i's points into j's image against the matched pixel observations.
     key_k, key_p = jax.random.split(rng_key)
-    coarse = estimate_rigid_3d(
-        snap_i.p_robot, snap_j.p_robot[best_j], match_ok, key_k,
-        inlier_threshold=inlier_threshold, min_inliers=min_inliers,
+    dtype = snap_i.p_robot.dtype
+    p_i = snap_i.p_robot
+    p_j = snap_j.p_robot[best_j]
+    uv_j = snap_j.uv[best_j]
+    maskf = match_ok.astype(dtype)
+    # bias minimal sets toward near points (range-certain)
+    z_i = jnp.linalg.norm(p_i, axis=-1)
+    z_j = jnp.linalg.norm(p_j, axis=-1)
+    sigma = (depth_sigma_px / cam.bf) * jnp.sqrt(z_i**4 + z_j**4)
+    conf = -jnp.log(jnp.maximum(sigma, 1e-4))
+    n_hyp = 48
+    gumbel = jax.random.gumbel(key_k, (n_hyp, M), dtype=dtype)
+    scores = jnp.where(match_ok[None, :], gumbel + conf[None, :], -jnp.inf)
+    _, subsets = jax.lax.top_k(scores, 3)  # [n_hyp, 3]
+
+    def fit(idx):
+        w = jnp.zeros(M, dtype).at[idx].set(1.0) * maskf
+        R, t = kabsch(p_i, p_j, w)
+        # predicted pixel of each matched i-point in j's left image
+        p_in_j = (p_i - t) @ R  # rows: R^T (p_i - t)
+        p_img = mat_apply(cam.t_ir, p_in_j)
+        uv_pred = project(cam, p_img)
+        err = jnp.linalg.norm(uv_pred - uv_j, axis=-1)
+        inl = match_ok & (err <= px_gate) & (p_img[:, 2] > 0.1)
+        return R, t, jnp.sum(inl)
+
+    Rs, ts, counts = jax.vmap(fit)(subsets)
+    bh = jnp.argmax(counts)
+    coarse_ok = (
+        (counts[bh] >= min_inliers)
+        & jnp.all(jnp.isfinite(Rs[bh]))
+        & jnp.all(jnp.isfinite(ts[bh]))
     )
-    rel0 = jnp.eye(4, dtype=snap_i.p_robot.dtype)
-    rel0 = rel0.at[:3, :3].set(coarse.rotation).at[:3, 3].set(
-        coarse.translation)
+    rel0 = jnp.eye(4, dtype=dtype)
+    rel0 = rel0.at[:3, :3].set(Rs[bh]).at[:3, 3].set(ts[bh])
 
     # PnP refinement: i's robot-frame points against j's pixels, guess from
     # the Kabsch estimate (same frame conventions as the estimator stage).
@@ -375,5 +425,5 @@ def verify_loop(snap_i: KeyframeSnapshot, snap_j: KeyframeSnapshot, cam,
         pnp.PnPSettings(iterations=16, min_inliers=min_inliers),
     )
     rel = mat_inv_se3(cam.t_ri @ se3_matrix(res.q, res.t))
-    ok = coarse.ok & res.ok
+    ok = coarse_ok & res.ok
     return jnp.where(res.ok, rel, rel0), ok, res.n_inliers

@@ -512,7 +512,8 @@ class System:
             return jax.device_get(self._results.popleft())
         return None
 
-    def keyframe_snapshot(self, max_kp: int = 64, patch_size: int = 8):
+    def keyframe_snapshot(self, max_kp: int = 64, patch_size: int = 8,
+                          scales: tuple = (1, 3, 6)):
         """Appearance snapshot of the latest processed frame's features,
         for loop-closure verification in the mapping back-end
         (slam/mapping.py verify_loop)."""
@@ -521,7 +522,7 @@ class System:
         assert self.state is not None, "call init() first"
         return snapshot_features(
             self.state.features, self.state.prev_left, self.camera,
-            max_kp=max_kp, patch_size=patch_size,
+            max_kp=max_kp, patch_size=patch_size, scales=scales,
         )
 
     def drain_outputs(self):
