@@ -118,6 +118,70 @@ def _gn_refine(q, t, pw, uv, weights, fx, fy, cx, cy, n_iters: int):
     return jax.lax.fori_loop(0, n_iters, body, (q, t))
 
 
+def sym_eigh_3x3(A):
+    """Closed-form eigendecomposition of a symmetric 3x3 matrix.
+
+    Returns (eigenvalues ascending [3], eigenvectors as columns [3,3]) like
+    jnp.linalg.eigh, but as straight-line VPU arithmetic: XLA lowers
+    jnp.linalg.eigh to a QR-iteration custom call with a ~0.7 ms latency
+    floor on TPU even for a [K,3,3] batch, which made the EPnP control-point
+    PCA the single most expensive op of the PnP stage.
+
+    Eigenvalues use the trigonometric solution of the characteristic cubic;
+    eigenvectors come from cross products of rows of (A - lambda I), picking
+    the best-conditioned row pair.  Degenerate (near-isotropic) inputs fall
+    back to the identity basis — for the PnP use (point-cloud PCA frames)
+    any orthonormal completion is valid there.
+    """
+    dtype = A.dtype
+    q = jnp.trace(A) / 3.0
+    B = A - q * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    evals = jnp.stack([e_lo, e_mid, e_hi])
+
+    def eigvec(lam):
+        M = A - lam * jnp.eye(3, dtype=dtype)
+        # candidate eigenvectors: cross products of row pairs
+        c01 = jnp.cross(M[0], M[1])
+        c02 = jnp.cross(M[0], M[2])
+        c12 = jnp.cross(M[1], M[2])
+        cands = jnp.stack([c01, c02, c12])
+        norms = jnp.linalg.norm(cands, axis=1)
+        v = cands[jnp.argmax(norms)]
+        ok = jnp.max(norms) > 1e-20
+        v = jnp.where(ok, v, jnp.array([1.0, 0.0, 0.0], dtype))
+        return v / jnp.linalg.norm(v), ok
+
+    v_hi, ok_hi = eigvec(e_hi)
+    v_lo, ok_lo = eigvec(e_lo)
+    # orthogonalize v_lo against v_hi (guards the repeated-eigenvalue case
+    # where the cross-product vectors are not exactly orthogonal)
+    v_lo = v_lo - v_hi * (v_hi @ v_lo)
+    n_lo = jnp.linalg.norm(v_lo)
+    alt = jnp.cross(v_hi, jnp.where(
+        jnp.abs(v_hi[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], dtype),
+        jnp.array([0.0, 1.0, 0.0], dtype),
+    ))
+    v_lo = jnp.where(n_lo > 1e-6, v_lo / jnp.maximum(n_lo, 1e-20),
+                     alt / jnp.linalg.norm(alt))
+    v_mid = jnp.cross(v_hi, v_lo)
+    # fully degenerate (isotropic) input -> identity basis
+    iso = p2 <= 1e-12 * (q * q + 1e-30)
+    degen = iso | (~ok_hi & ~ok_lo)
+    V = jnp.where(degen, jnp.eye(3, dtype=dtype),
+                  jnp.stack([v_lo, v_mid, v_hi], axis=1))
+    evals = jnp.where(iso, jnp.full(3, q, dtype), evals)
+    return evals, V
+
+
 def _smallest_two_eigvecs(A, iters: int = 6, second: bool = True):
     """Two smallest eigenvectors of a small symmetric PSD matrix by inverse
     iteration (one LU factorization + a few triangular solves) with
@@ -297,7 +361,7 @@ def epnp_pose(pw, uv, w, fx, fy, cx, cy, full: bool = True):
     c0 = jnp.sum(pw * w[:, None], axis=0) / wsum
     d = pw - c0
     cov = jnp.einsum("n,ni,nj->ij", w, d, d) / wsum
-    eval3, evec3 = jnp.linalg.eigh(cov)  # ascending
+    eval3, evec3 = sym_eigh_3x3(cov)  # ascending (closed form, see above)
     scale = jnp.sqrt(jnp.maximum(eval3, 1e-6 * eval3[2] + 1e-10))
     axes = evec3 * scale[None, :]  # columns = (c_i - c0)
 
@@ -391,35 +455,39 @@ def solve_pnp_ransac(
             qh, th = apply_tangent(q0, t0, d)
         qh, th = _gn_refine(qh, th, pw, uv, sub_w, fx, fy, cx, cy,
                             settings.gn_iterations)
+        return qh, th, _score(qh, th)
+
+    def _score(qh, th):
+        """Inlier count, tie-broken by mean inlier error.  A raw argmax
+        over counts is noisy: dozens of hypotheses tie within +-1 inlier
+        and the first max may be a loose fit that happens to catch one
+        borderline point; the fractional penalty (< 1, so it can never
+        outvote a count difference) prefers the tightest fit among them."""
         errs = _reproj_errors(qh, th, pw, uv, fx, fy, cx, cy)
         inl = (errs <= settings.reproj_error) & match_mask
-        return qh, th, jnp.sum(inl)
+        n = jnp.sum(inl)
+        mean_e = jnp.sum(jnp.where(inl, errs, 0.0)) / jnp.maximum(n, 1)
+        return n.astype(dtype) - 0.5 * mean_e / settings.reproj_error
 
-    qs, ts, counts = jax.vmap(fit_hypothesis)(subset_idx, perturb)
+    qs, ts, scores = jax.vmap(fit_hypothesis)(subset_idx, perturb)
 
     # Hypothesis 0 also scored without its subset fit (pure guess), so a
     # good prior is never lost to a degenerate subset:
-    errs0 = _reproj_errors(q0, t0, pw, uv, fx, fy, cx, cy)
-    count0 = jnp.sum((errs0 <= settings.reproj_error) & match_mask)
     qs = jnp.concatenate([q0[None], qs])
     ts = jnp.concatenate([t0[None], ts])
-    counts = jnp.concatenate([count0[None], counts])
+    scores = jnp.concatenate([_score(q0, t0)[None], scores])
 
     if settings.flags >= 1:
         # One global hypothesis: EPnP over ALL matches (n-point solve).
         qg, tg, eg = epnp_pose(pw, uv, maskf, fx, fy, cx, cy)
         qg2, tg2 = _gn_refine(qg, tg, pw, uv, maskf, fx, fy, cx, cy,
                               settings.gn_iterations)
-        errg = _reproj_errors(qg2, tg2, pw, uv, fx, fy, cx, cy)
-        countg = jnp.where(
-            eg >= 1e8, -1,
-            jnp.sum((errg <= settings.reproj_error) & match_mask),
-        )
+        scoreg = jnp.where(eg >= 1e8, -1.0, _score(qg2, tg2))
         qs = jnp.concatenate([qs, qg2[None]])
         ts = jnp.concatenate([ts, tg2[None]])
-        counts = jnp.concatenate([counts, countg[None]])
+        scores = jnp.concatenate([scores, scoreg[None]])
 
-    best = jnp.argmax(counts)
+    best = jnp.argmax(scores)
     q, t = qs[best], ts[best]
 
     # --- refinement loop (refineModel equivalent) ------------------------
