@@ -45,6 +45,11 @@ _REGISTRY: Tuple[Tuple[str, str, type, Any, str], ...] = (
     ("Tracker", "FlowMaxLevel", int, 3,
      "Maximal pyramid level number; if set to 0, pyramids are not used "
      "(single level)"),
+    ("Tracker", "FlowComputeDtype", str, "float32",
+     "TPU-native extension (no reference analogue): dtype of the LK "
+     "pyramid/patch-sampling math — 'float32' (exact reference semantics) "
+     "or 'bfloat16' (MXU-native-rate sampling, ~0.4% pixel rounding; "
+     "coordinates, G statistics and flow stay float32)."),
     ("Tracker", "CullByFundationMatrix", bool, False,
      "Use fundation matrix to cull out the outliers in the result of "
      "feature match."),

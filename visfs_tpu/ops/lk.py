@@ -37,6 +37,21 @@ class LKParams(NamedTuple):
     iterations: int = 30
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
+    # Image-math dtype: "float32" (exact reference semantics) or
+    # "bfloat16".  bf16 runs the patch-sampling selector matmuls — the
+    # front-end's dominant MXU work — at the MXU's native-rate.  Pixel
+    # values round to ~0.4%; every selector matmul row has <= 2 nonzero
+    # taps (tent/one-hot weights), so there is no long-sum accumulation
+    # error.  Coordinates, tent-weight construction, G statistics, and the
+    # flow state itself stay float32 throughout.
+    compute_dtype: str = "float32"
+    # Iterations per while-loop step.  The loop bookkeeping (scalar cond +
+    # any() reduction) costs more than the tiny per-iteration matmuls, so
+    # several iterations run per check; converged features' updates are
+    # masked to zero so the eps exit only coarsens in granularity, never in
+    # semantics.  unroll >= iterations turns the loop into a fully static
+    # chain (no early exit, maximal async pipelining).
+    unroll: int = 3
     # "jnp" (default) or "pallas".  The Pallas kernel (ops/pallas) keeps
     # each pyramid level resident in VMEM and runs one feature's full
     # iteration loop per grid step with aligned-block loads + dynamic
@@ -81,6 +96,7 @@ def lk_pad(params: LKParams) -> int:
 
 def build_lk_pyramid(img, params: LKParams = LKParams()) -> LKPyramid:
     """Padded pyramid + gradients for use as either `from` or `to` image."""
+    img = img.astype(jnp.dtype(params.compute_dtype))
     pad = lk_pad(params)
     levels, gxs, gys = [], [], []
     for im in build_pyramid(img, params.max_level):
@@ -104,7 +120,16 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     win = params.win_size
     area = win * win
     h, w = img_from.shape
+    # fdtype is the image-math dtype (float32, or bfloat16 under
+    # LKParams.compute_dtype="bfloat16").  Coordinates, tent-weight
+    # CONSTRUCTION, G statistics and the flow state are always float32:
+    # bf16 cannot even represent integer row indices > 256 exactly, and the
+    # G inverse / step updates need the full mantissa.  Only the selector
+    # matmuls (the MXU-heavy sampling work) run in fdtype; each selector
+    # row has <= 2 nonzero taps, so bf16 costs one rounding of the inputs
+    # and nothing in accumulation.
     fdtype = img_from.dtype
+    F = jnp.float32
 
     # Bilinear win x win patches of (image, grad_x, grad_y) for every
     # feature via separable tent-selector matmuls instead of per-feature
@@ -115,25 +140,25 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     # the rest of the level setup.
     stack3 = jnp.stack([img_from, grad_x, grad_y])  # [3, H, W]
 
-    x0 = jnp.clip(pts_from[:, 0] - win // 2, 0.0, w - win - 1.0)
-    y0 = jnp.clip(pts_from[:, 1] - win // 2, 0.0, h - win - 1.0)
-    rows_h = jnp.arange(h, dtype=fdtype)
-    rows_w = jnp.arange(w, dtype=fdtype)
-    taps_p = jnp.arange(win, dtype=fdtype)
+    x0 = jnp.clip(pts_from[:, 0].astype(F) - win // 2, 0.0, w - win - 1.0)
+    y0 = jnp.clip(pts_from[:, 1].astype(F) - win // 2, 0.0, h - win - 1.0)
+    rows_h = jnp.arange(h, dtype=F)
+    rows_w = jnp.arange(w, dtype=F)
+    taps_p = jnp.arange(win, dtype=F)
     sy = jnp.maximum(
         0.0,
         1.0 - jnp.abs(rows_h[None, None, :]
                       - (y0[:, None, None] + taps_p[None, :, None])),
-    )  # [N, win, H]
+    ).astype(fdtype)  # [N, win, H]
     sx = jnp.maximum(
         0.0,
         1.0 - jnp.abs(rows_w[None, None, :]
                       - (x0[:, None, None] + taps_p[None, :, None])),
-    )  # [N, win, W]
+    ).astype(fdtype)  # [N, win, W]
     rows3 = jnp.einsum("nph,shw->nspw", sy, stack3,
                        preferred_element_type=fdtype)  # [N, 3, win, W]
     patches = jnp.einsum("nspw,nqw->nspq", rows3, sx,
-                         preferred_element_type=fdtype)  # [N, 3, win, win]
+                         preferred_element_type=F)  # [N, 3, win, win] f32
     patch_i = patches[:, 0]
     gx = patches[:, 1]
     gy = patches[:, 2]
@@ -189,30 +214,32 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
                              preferred_element_type=fdtype)  # [N, R, W]
     region = jnp.einsum("npw,nqw->npq", region_rows, rx,
                         preferred_element_type=fdtype)  # [N, R, R]
-    origin = jnp.stack([oix, oiy], axis=-1).astype(fdtype)  # (x, y) corners
+    origin = jnp.stack([oix, oiy], axis=-1).astype(F)  # (x, y) corners
 
-    taps = jnp.arange(R, dtype=fdtype)  # [R]
-    prows = jnp.arange(win, dtype=fdtype)  # [win]
+    taps = jnp.arange(R, dtype=F)  # [R]
+    prows = jnp.arange(win, dtype=F)  # [win]
 
     def sample_patches(flow):
         # top-left corner of the patch in region coordinates
-        offx = pts_from[:, 0] + flow[:, 0] - half - origin[:, 0]
-        offy = pts_from[:, 1] + flow[:, 1] - half - origin[:, 1]
+        offx = pts_from[:, 0].astype(F) + flow[:, 0] - half - origin[:, 0]
+        offy = pts_from[:, 1].astype(F) + flow[:, 1] - half - origin[:, 1]
         offx = jnp.clip(offx, 0.0, R - win - 1.0)
         offy = jnp.clip(offy, 0.0, R - win - 1.0)
-        # tent selectors [N, win, R]
+        # tent selectors [N, win, R] (built f32, applied in fdtype)
         sy = jnp.maximum(
             0.0,
             1.0 - jnp.abs(taps[None, None, :]
                           - (offy[:, None, None] + prows[None, :, None])),
-        )
+        ).astype(fdtype)
         sx = jnp.maximum(
             0.0,
             1.0 - jnp.abs(taps[None, None, :]
                           - (offx[:, None, None] + prows[None, :, None])),
-        )
-        tmp = jnp.einsum("npr,nrc->npc", sy, region)  # [N, win, R]
-        return jnp.einsum("npc,nqc->npq", tmp, sx)  # [N, win, win]
+        ).astype(fdtype)
+        tmp = jnp.einsum("npr,nrc->npc", sy, region,
+                         preferred_element_type=fdtype)  # [N, win, R]
+        return jnp.einsum("npc,nqc->npq", tmp, sx,
+                          preferred_element_type=F)  # [N, win, win] f32
 
     def one_step(flow, active_now):
         patch_j = sample_patches(flow)
@@ -227,13 +254,13 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         still = active_now & (step_sq >= params.eps * params.eps)
         return new_flow, still
 
-    # Unroll a few iterations per while step: the loop bookkeeping and
-    # kernel-launch overhead (~16 us/iteration) dominates the tiny
-    # per-iteration matmuls.  Converged features' updates are masked to
-    # zero, so a coarser eps-exit granularity is harmless; the iteration
-    # CAP stays exact — the while loop runs the largest multiple of
-    # `unroll` below it and the remainder is peeled afterwards.
-    unroll = min(3, max(params.iterations, 1))
+    # Unroll `params.unroll` iterations per while step: the loop
+    # bookkeeping and kernel-launch overhead (~16 us/iteration) dominates
+    # the tiny per-iteration matmuls.  Converged features' updates are
+    # masked to zero, so a coarser eps-exit granularity is harmless; the
+    # iteration CAP stays exact — the while loop runs the largest multiple
+    # of `unroll` below it and the remainder is peeled afterwards.
+    unroll = min(max(params.unroll, 1), max(params.iterations, 1))
     main_iters = (params.iterations // unroll) * unroll
 
     def body(carry):
@@ -279,7 +306,7 @@ def lk_track_pyr(pyr_from: LKPyramid, pyr_to: LKPyramid, pts_from, pts_init,
 
     use_pallas = params.backend == "pallas"
 
-    min_eig = jnp.zeros(pts_from.shape[0], dtype=pyr_from.levels[0].dtype)
+    min_eig = jnp.zeros(pts_from.shape[0], dtype=jnp.float32)
     for level in range(params.max_level, -1, -1):
         scale = 2.0 ** level
         pts_l = pts_from / scale + pad

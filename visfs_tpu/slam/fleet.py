@@ -110,6 +110,7 @@ class FleetSystem:
             max_level=self.cfg.tracker_flow_max_level,
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
+            compute_dtype=self.cfg.tracker_flow_compute_dtype,
         )
         self._cfg_hash = build_cfg_hash(self.cfg)
         self._capacity_factor = feature_capacity_factor
@@ -135,6 +136,7 @@ class FleetSystem:
                 seed=self._seed + i,
                 lk_pad=_lk_pad(self.lk_params),
                 lk_max_level=self.lk_params.max_level,
+                lk_dtype=jnp.dtype(self.lk_params.compute_dtype),
             )
             for i in range(self.n_streams)
         ]

@@ -201,14 +201,18 @@ def init_laser_state(resolution: float, extent_cells: int,
 
 
 def init_pyramid_state(height: int, width: int, pad: int,
-                       max_level: int) -> tuple:
-    """Zero-filled carried LK pyramid matching ops.lk.build_lk_pyramid."""
+                       max_level: int, dtype=F32) -> tuple:
+    """Zero-filled carried LK pyramid matching ops.lk.build_lk_pyramid.
+
+    dtype must equal LKParams.compute_dtype (the step donates the carried
+    pyramid buffers, so init and the tracker's rebuilt pyramid must agree).
+    """
     levels = []
     h, w = height, width
     for _ in range(max_level + 1):
         # Three distinct buffers (not one aliased array): the step donates
         # the state, and donating the same buffer twice is an error.
-        levels.append(tuple(jnp.zeros((h + 2 * pad, w + 2 * pad), F32)
+        levels.append(tuple(jnp.zeros((h + 2 * pad, w + 2 * pad), dtype)
                             for _ in range(3)))
         h, w = (h + 1) // 2, (w + 1) // 2
     return tuple(levels)
@@ -217,7 +221,8 @@ def init_pyramid_state(height: int, width: int, pad: int,
 def init_state(height: int, width: int, capacity: int, window: int,
                odom_capacity: int = 64, blocked_capacity: int = 64,
                seed: int = 0, laser: LaserState | None = None,
-               lk_pad: int = 12, lk_max_level: int = 3) -> VOState:
+               lk_pad: int = 12, lk_max_level: int = 3,
+               lk_dtype=F32) -> VOState:
     import jax
 
     return VOState(
@@ -255,5 +260,6 @@ def init_state(height: int, width: int, capacity: int, window: int,
         blocked_valid=jnp.zeros((blocked_capacity,), bool),
         rng_key=jax.random.PRNGKey(seed),
         laser=laser,
-        prev_pyr=init_pyramid_state(height, width, lk_pad, lk_max_level),
+        prev_pyr=init_pyramid_state(height, width, lk_pad, lk_max_level,
+                                    dtype=lk_dtype),
     )

@@ -347,6 +347,7 @@ class System:
             max_level=self.cfg.tracker_flow_max_level,
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
+            compute_dtype=self.cfg.tracker_flow_compute_dtype,
         )
         self._cfg_hash = build_cfg_hash(self.cfg)
         self._capacity_factor = feature_capacity_factor
@@ -407,6 +408,7 @@ class System:
             laser=laser,
             lk_pad=_lk_pad(self.lk_params),
             lk_max_level=self.lk_params.max_level,
+            lk_dtype=jnp.dtype(self.lk_params.compute_dtype),
         )
 
     # -- reference System::inputPrimarySensorData -------------------------
