@@ -9,6 +9,22 @@ measured fps against that envelope; the BASELINE.json target is >= 5x.
 
 Config mirrors the simMapping.launch operating point: 120 features,
 window 5, 20 solver iterations (launch/simMapping.launch:53-88).
+
+Phases (trim with env knobs):
+  1. throughput — 300-frame textured square-loop sequence (occlusion,
+     pixel noise, exposure drift — io.sim.generate_textured_sequence), fed
+     asynchronously, drained at the end: sustained fps + ATE + lost count.
+  2. latency — per-frame host-synced pass over the first
+     VISFS_BENCH_LAT_FRAMES frames: p50/p99 per-frame wall latency.  NOTE:
+     each sample includes one host<->device result round trip; under a
+     remote-tunnel dev TPU that adds ~25 ms/frame of transport that does
+     not exist in deployment (driver process on the TPU host).
+  3. fleet — VISFS_BENCH_FLEET (default 8) vmapped lockstep streams on one
+     chip (slam.fleet.FleetSystem): aggregate frames/s/chip.
+
+Env knobs: VISFS_BENCH_FRAMES (300), VISFS_BENCH_WIDTH/HEIGHT (640x480),
+VISFS_BENCH_FLEET (8, 0 skips), VISFS_BENCH_LAT_FRAMES (60, 0 skips),
+VISFS_BENCH_PLATFORM (force a jax platform), VISFS_SIM_CACHE (seq cache dir).
 """
 
 import json
@@ -16,6 +32,25 @@ import os
 import time
 
 import numpy as np
+
+
+def _make_system(System, cam, width):
+    sys_ = System(_params(width))
+    sys_.init(
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        float(cam.baseline), width=cam.width, height=cam.height,
+    )
+    return sys_
+
+
+def _params(width):
+    return {
+        "Tracker/MaxFeatures": 120,
+        # simMapping.launch uses 40 px at VGA; scale for other sizes
+        "Tracker/MinDistance": max(12, 40 * width // 640),
+        "LocalMap/MapSize": 5,
+        "Optimizer/Iterations": 20,
+    }
 
 
 def main():
@@ -26,31 +61,22 @@ def main():
 
     import jax.numpy as jnp
 
-    from visfs_tpu.io.sim import ate_rmse, generate_sequence
+    from visfs_tpu.io.sim import ate_rmse, cached_textured_sequence
     from visfs_tpu.slam.system import System
 
-    n_frames = int(os.environ.get("VISFS_BENCH_FRAMES", "30"))
+    n_frames = int(os.environ.get("VISFS_BENCH_FRAMES", "300"))
     width = int(os.environ.get("VISFS_BENCH_WIDTH", "640"))
     height = int(os.environ.get("VISFS_BENCH_HEIGHT", "480"))
+    fleet_b = int(os.environ.get("VISFS_BENCH_FLEET", "8"))
+    lat_frames = int(os.environ.get("VISFS_BENCH_LAT_FRAMES", "60"))
 
-    seq = generate_sequence(
-        n_frames=n_frames, n_points=900, width=width, height=height,
-        motion="arc", seed=0,
+    # Constant 2 m/s regardless of frame count (with loops= the generator
+    # scales speed so short smoke runs get untrackable per-frame motion).
+    seq = cached_textured_sequence(
+        n_frames=n_frames, width=width, height=height, motion="square",
+        seed=0, speed=2.0,
     )
     cam = seq.camera
-    sys_ = System(
-        {
-            "Tracker/MaxFeatures": 120,
-            # simMapping.launch uses 40 px at VGA; scale for other sizes
-            "Tracker/MinDistance": max(12, 40 * width // 640),
-            "LocalMap/MapSize": 5,
-            "Optimizer/Iterations": 20,
-        }
-    )
-    sys_.init(
-        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-        float(cam.baseline), width=cam.width, height=cam.height,
-    )
 
     # Pre-stage all frames in device memory: the benchmark measures per-chip
     # pipeline throughput (in deployment frames arrive over PCIe/DMA, not
@@ -61,7 +87,8 @@ def main():
     jax.block_until_ready(lefts)
     jax.block_until_ready(rights)
 
-    # Warm-up: compile + first two frames.
+    # ---- phase 1: sustained throughput ---------------------------------
+    sys_ = _make_system(System, cam, width)
     sys_.input_primary_sensor_data(float(seq.stamps[0]), lefts[0], rights[0])
     sys_.input_primary_sensor_data(float(seq.stamps[1]), lefts[1], rights[1])
     while sys_.output_odometry_info() is not None:
@@ -70,20 +97,67 @@ def main():
     t0 = time.perf_counter()
     for i in range(2, n_frames):
         sys_.input_primary_sensor_data(float(seq.stamps[i]), lefts[i], rights[i])
-    # One batched drain (blocks until the device finished all steps).
-    outs = sys_.drain_outputs()
+    outs = sys_.drain_outputs()  # blocks until the device finished all steps
     elapsed = time.perf_counter() - t0
     fps = (n_frames - 2) / elapsed
 
-    # Sanity: the trajectory must be tracked, not garbage.
     est = np.stack([np.asarray(o.pose) for o in outs])
     ate = ate_rmse(est, seq.poses[2:2 + len(est)]) if len(est) else float("inf")
     lost = sum(bool(o.lost) for o in outs)
+
+    # ---- phase 2: per-frame latency percentiles ------------------------
+    lat_txt = ""
+    if lat_frames > 1:
+        sys_ = _make_system(System, cam, width)
+        sys_.input_primary_sensor_data(float(seq.stamps[0]), lefts[0],
+                                       rights[0])
+        sys_.output_odometry_info()
+        lats = []
+        for i in range(1, min(lat_frames, n_frames)):
+            t1 = time.perf_counter()
+            sys_.input_primary_sensor_data(float(seq.stamps[i]), lefts[i],
+                                           rights[i])
+            sys_.output_odometry_info()  # per-frame host sync
+            lats.append(time.perf_counter() - t1)
+        lats = np.asarray(lats[2:]) * 1e3  # skip jit warm frames
+        lat_txt = (f", lat p50 {np.percentile(lats, 50):.1f}"
+                   f"/p99 {np.percentile(lats, 99):.1f} ms (incl host sync)")
+
+    # ---- phase 3: fleet aggregate --------------------------------------
+    fleet_txt = ""
+    if fleet_b > 0:
+        from visfs_tpu.slam.fleet import FleetSystem
+
+        fs = FleetSystem(_params(width), n_streams=fleet_b)
+        fs.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                float(cam.baseline), width=cam.width, height=cam.height)
+        nf = min(n_frames, 40)
+        # Offset starting frames so streams are out of phase (decorrelated
+        # convergence, like independent robots).
+        offs = [(k * 7) % max(n_frames - nf, 1) for k in range(fleet_b)]
+        stampsB = np.stack(
+            [seq.stamps[o:o + nf] for o in offs], 1).astype(np.float32)
+        lB = [jnp.stack([lefts[o + i] for o in offs]) for i in range(nf)]
+        rB = [jnp.stack([rights[o + i] for o in offs]) for i in range(nf)]
+        jax.block_until_ready((lB, rB))
+        fs.input_primary_sensor_data(stampsB[0], lB[0], rB[0])
+        fs.input_primary_sensor_data(stampsB[1], lB[1], rB[1])
+        fs.drain_outputs()
+        t0 = time.perf_counter()
+        for i in range(2, nf):
+            fs.input_primary_sensor_data(stampsB[i], lB[i], rB[i])
+        fs.drain_outputs()
+        dt = time.perf_counter() - t0
+        agg = (nf - 2) * fleet_b / dt
+        fleet_txt = f", fleet x{fleet_b} {agg:.0f} fps/chip"
+
     baseline_fps = 1.0 / 0.06  # reference per-frame solver budget envelope
     result = {
         "metric": "stereo_vo_frames_per_s_per_chip",
         "value": round(fps, 2),
-        "unit": f"fps@{width}x{height} (ATE {ate:.4f} m, lost {lost}/{len(outs)})",
+        "unit": (f"fps@{width}x{height} textured {n_frames}f "
+                 f"(ATE {ate:.4f} m, lost {lost}/{len(outs)}"
+                 f"{lat_txt}{fleet_txt})"),
         "vs_baseline": round(fps / baseline_fps, 3),
     }
     print(json.dumps(result))

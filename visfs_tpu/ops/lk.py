@@ -52,6 +52,10 @@ class LKParams(NamedTuple):
     # semantics.  unroll >= iterations turns the loop into a fully static
     # chain (no early exit, maximal async pipelining).
     unroll: int = 3
+    # Setup-patch extraction: True = one-hot region gather + in-region tent
+    # matmuls; False = tent selectors against the full level image.  Both
+    # are numerically identical; see _track_level.
+    setup_region: bool = True
     # "jnp" (default) or "pallas".  The Pallas kernel (ops/pallas) keeps
     # each pyramid level resident in VMEM and runs one feature's full
     # iteration loop per grid step with aligned-block loads + dynamic
@@ -131,34 +135,75 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     fdtype = img_from.dtype
     F = jnp.float32
 
-    # Bilinear win x win patches of (image, grad_x, grad_y) for every
-    # feature via separable tent-selector matmuls instead of per-feature
-    # gathers: a vmap'd dynamic_slice lowers to a TPU gather with a ~0.6 ms
-    # latency floor per call site regardless of size, while
-    #     patch = Sy @ img @ Sx^T,  S[p, r] = max(0, 1 - |r - (x0 + p)|)
-    # is exact 2-D bilinear interpolation as two MXU matmuls that fuse with
-    # the rest of the level setup.
-    stack3 = jnp.stack([img_from, grad_x, grad_y])  # [3, H, W]
-
     x0 = jnp.clip(pts_from[:, 0].astype(F) - win // 2, 0.0, w - win - 1.0)
     y0 = jnp.clip(pts_from[:, 1].astype(F) - win // 2, 0.0, h - win - 1.0)
-    rows_h = jnp.arange(h, dtype=F)
-    rows_w = jnp.arange(w, dtype=F)
-    taps_p = jnp.arange(win, dtype=F)
-    sy = jnp.maximum(
-        0.0,
-        1.0 - jnp.abs(rows_h[None, None, :]
-                      - (y0[:, None, None] + taps_p[None, :, None])),
-    ).astype(fdtype)  # [N, win, H]
-    sx = jnp.maximum(
-        0.0,
-        1.0 - jnp.abs(rows_w[None, None, :]
-                      - (x0[:, None, None] + taps_p[None, :, None])),
-    ).astype(fdtype)  # [N, win, W]
-    rows3 = jnp.einsum("nph,shw->nspw", sy, stack3,
-                       preferred_element_type=fdtype)  # [N, 3, win, W]
-    patches = jnp.einsum("nspw,nqw->nspq", rows3, sx,
-                         preferred_element_type=F)  # [N, 3, win, win] f32
+    if params.setup_region:
+        # Two-stage setup: integer-aligned (win+2)^2 regions of the three
+        # planes via ONE-HOT selector contractions (XLA rewrites
+        # dot(one_hot(iota==idx), X) into a cheap dynamic gather), then the
+        # exact bilinear tent weights applied INSIDE the small region as
+        # tiny batched matmuls.  Identical numerics to the full-image tent
+        # path at ~1/500th of the nominal contraction FLOPs.
+        Rs = win + 2
+        six = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, w - Rs)
+        siy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, h - Rs)
+        taps_s = jnp.arange(Rs, dtype=jnp.int32)
+        ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
+              == (siy[:, None, None] + taps_s[None, :, None])).astype(fdtype)
+        rx = (jnp.arange(w, dtype=jnp.int32)[None, None, :]
+              == (six[:, None, None] + taps_s[None, :, None])).astype(fdtype)
+        reg3 = []
+        for plane in (img_from, grad_x, grad_y):
+            rows_p = jnp.einsum("nrh,hw->nrw", ry, plane,
+                                preferred_element_type=fdtype)
+            reg3.append(jnp.einsum("nrw,ncw->nrc", rows_p, rx,
+                                   preferred_element_type=fdtype))
+        reg3 = jnp.stack(reg3, axis=1)  # [N, 3, Rs, Rs]
+        offy = y0 - siy.astype(F)
+        offx = x0 - six.astype(F)
+        taps_r = jnp.arange(Rs, dtype=F)
+        taps_p = jnp.arange(win, dtype=F)
+        sy = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(taps_r[None, None, :]
+                          - (offy[:, None, None] + taps_p[None, :, None])),
+        ).astype(fdtype)  # [N, win, Rs]
+        sx = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(taps_r[None, None, :]
+                          - (offx[:, None, None] + taps_p[None, :, None])),
+        ).astype(fdtype)
+        rows3 = jnp.einsum("npr,nsrc->nspc", sy, reg3,
+                           preferred_element_type=fdtype)
+        patches = jnp.einsum("nspc,nqc->nspq", rows3, sx,
+                             preferred_element_type=F)  # [N,3,win,win] f32
+    else:
+        # Bilinear win x win patches of (image, grad_x, grad_y) for every
+        # feature via separable tent-selector matmuls instead of
+        # per-feature gathers: a vmap'd dynamic_slice lowers to a TPU
+        # gather with a ~0.6 ms latency floor per call site regardless of
+        # size, while
+        #     patch = Sy @ img @ Sx^T,  S[p, r] = max(0, 1 - |r - (x0+p)|)
+        # is exact 2-D bilinear interpolation as two MXU matmuls that fuse
+        # with the rest of the level setup.
+        stack3 = jnp.stack([img_from, grad_x, grad_y])  # [3, H, W]
+        rows_h = jnp.arange(h, dtype=F)
+        rows_w = jnp.arange(w, dtype=F)
+        taps_p = jnp.arange(win, dtype=F)
+        sy = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(rows_h[None, None, :]
+                          - (y0[:, None, None] + taps_p[None, :, None])),
+        ).astype(fdtype)  # [N, win, H]
+        sx = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(rows_w[None, None, :]
+                          - (x0[:, None, None] + taps_p[None, :, None])),
+        ).astype(fdtype)  # [N, win, W]
+        rows3 = jnp.einsum("nph,shw->nspw", sy, stack3,
+                           preferred_element_type=fdtype)  # [N, 3, win, W]
+        patches = jnp.einsum("nspw,nqw->nspq", rows3, sx,
+                             preferred_element_type=F)  # [N,3,win,win] f32
     patch_i = patches[:, 0]
     gx = patches[:, 1]
     gy = patches[:, 2]
