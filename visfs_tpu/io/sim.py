@@ -338,45 +338,141 @@ def _make_world(rng, room, z_floor, z_ceil, n_pillars, traj_xy):
     return planes, pillars
 
 
-def _render_world(planes, origin, r_wi, fx, fy, cx, cy, width, height,
-                  t_min=0.25):
-    """Ray-cast one camera view.  Returns (image [H,W] in [0,1], z-depth)."""
-    us, vs = np.meshgrid(np.arange(width, dtype=np.float64),
-                         np.arange(height, dtype=np.float64))
-    # image-frame dirs with z = 1 => ray parameter t IS the z-depth
-    d_img = np.stack([(us.ravel() - cx) / fx, (vs.ravel() - cy) / fy,
-                      np.ones(width * height)], axis=-1)
-    d_w = d_img @ r_wi.T
-    n_px = d_w.shape[0]
-    best_t = np.full(n_px, np.inf)
-    best_pl = np.full(n_px, -1, np.int32)
-    # pass 1: nearest valid hit per pixel (cheap: no texture sampling)
-    cache = []
-    for k, pl in enumerate(planes):
-        denom = d_w @ pl.n
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = ((pl.p0 - origin) @ pl.n) / denom
-            t = np.where(np.isfinite(t), t, -1.0)  # parallel ray: no hit
-        hit = origin + t[:, None] * d_w
-        uu = (hit - pl.p0) @ pl.e1
-        vv = (hit - pl.p0) @ pl.e2
-        valid = ((np.abs(denom) > 1e-12) & (t > t_min)
-                 & (uu >= pl.u0) & (uu <= pl.u1)
-                 & (vv >= pl.v0) & (vv <= pl.v1))
-        closer = valid & (t < best_t)
-        best_t = np.where(closer, t, best_t)
-        best_pl = np.where(closer, k, best_pl)
-        cache.append((uu, vv))
-    # pass 2: sample texture only on winning pixels
-    img = np.zeros(n_px)
-    for k, pl in enumerate(planes):
-        sel = best_pl == k
-        if not sel.any():
-            continue
-        uu, vv = cache[k]
-        img[sel] = _sample_tex(pl.grid, uu[sel], vv[sel])
-    depth = np.where(np.isfinite(best_t), best_t, 0.0)
+class _PlaneArrays(NamedTuple):
+    """Stacked-plane form of the world for the jitted renderer."""
+
+    p0: jnp.ndarray  # [K, 3]
+    n: jnp.ndarray  # [K, 3]
+    e1: jnp.ndarray  # [K, 3]
+    e2: jnp.ndarray  # [K, 3]
+    uv: jnp.ndarray  # [K, 4] (u0, u1, v0, v1)
+    grids: jnp.ndarray  # [K, S, S]
+
+
+def _stack_planes(planes) -> _PlaneArrays:
+    return _PlaneArrays(
+        p0=jnp.asarray(np.stack([p.p0 for p in planes]), jnp.float32),
+        n=jnp.asarray(np.stack([p.n for p in planes]), jnp.float32),
+        e1=jnp.asarray(np.stack([p.e1 for p in planes]), jnp.float32),
+        e2=jnp.asarray(np.stack([p.e2 for p in planes]), jnp.float32),
+        uv=jnp.asarray(
+            np.stack([[p.u0, p.u1, p.v0, p.v1] for p in planes]),
+            jnp.float32),
+        grids=jnp.asarray(np.stack([p.grid for p in planes]), jnp.float32),
+    )
+
+
+def _render_view_jax(pa: _PlaneArrays, origin, r_wi, fx, fy, cx, cy,
+                     width: int, height: int, t_min=0.25):
+    """Ray-cast one camera view (jit-traced; all-pixels x all-planes).
+
+    Same geometry/texture math as the original numpy renderer, in float32
+    as one fused XLA program — the 300-frame VGA benchmark substrate
+    renders in seconds (on the bench chip) instead of ~10 min of numpy.
+    """
+    F = jnp.float32
+    us = (jnp.arange(width, dtype=F) - cx) / fx
+    vs = (jnp.arange(height, dtype=F) - cy) / fy
+    d_img = jnp.stack(
+        [jnp.tile(us[None, :], (height, 1)).ravel(),
+         jnp.tile(vs[:, None], (1, width)).ravel(),
+         jnp.ones(width * height, F)], axis=-1)  # [P, 3], z=1 => t is depth
+    d_w = d_img @ r_wi.T.astype(F)  # [P, 3]
+    o = origin.astype(F)
+
+    denom = d_w @ pa.n.T  # [P, K]
+    t_num = jnp.einsum("kd,kd->k", pa.p0 - o[None, :], pa.n)  # [K]
+    t = jnp.where(jnp.abs(denom) > 1e-12, t_num[None, :] / denom, -1.0)
+    # uu = (o + t d - p0) . e1 = (o - p0).e1 + t * (d . e1)
+    a1 = jnp.einsum("kd,kd->k", o[None, :] - pa.p0, pa.e1)  # [K]
+    a2 = jnp.einsum("kd,kd->k", o[None, :] - pa.p0, pa.e2)
+    b1 = d_w @ pa.e1.T  # [P, K]
+    b2 = d_w @ pa.e2.T
+    uu = a1[None, :] + t * b1
+    vv = a2[None, :] + t * b2
+    valid = ((jnp.abs(denom) > 1e-12) & (t > t_min)
+             & (uu >= pa.uv[None, :, 0]) & (uu <= pa.uv[None, :, 1])
+             & (vv >= pa.uv[None, :, 2]) & (vv <= pa.uv[None, :, 3]))
+    tv = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(tv, axis=1)  # [P]
+    best_t = jnp.take_along_axis(tv, best[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(best_t)
+
+    uu_w = jnp.take_along_axis(uu, best[:, None], axis=1)[:, 0]
+    vv_w = jnp.take_along_axis(vv, best[:, None], axis=1)[:, 0]
+    S = pa.grids.shape[1]
+    # Flatten the grid stack so each texture tap is ONE [P]-sized gather
+    # (indexing pa.grids[best] first would materialize a [P, S, S] copy of
+    # the winning grid per pixel — 80 GB at VGA).
+    flat_grids = pa.grids.reshape(-1)
+    base = best.astype(jnp.int32) * (S * S)
+
+    tex = jnp.zeros_like(uu_w)
+    for cell, w, sharp in _TEX_OCTAVES:
+        gu = uu_w / cell
+        gv = vv_w / cell
+        iu = jnp.floor(gu).astype(jnp.int32)
+        iv = jnp.floor(gv).astype(jnp.int32)
+        m = lambda x: jnp.mod(x, S)  # noqa: E731
+        pick = lambda a, b: flat_grids[base + m(a) * S + m(b)]  # noqa: E731
+        if sharp:
+            tex = tex + w * pick(iu, iv)
+        else:
+            fu = gu - iu
+            fv = gv - iv
+            g00 = pick(iu, iv)
+            g10 = pick(iu + 1, iv)
+            g01 = pick(iu, iv + 1)
+            g11 = pick(iu + 1, iv + 1)
+            tex = tex + w * ((g00 * (1 - fu) + g10 * fu) * (1 - fv)
+                             + (g01 * (1 - fu) + g11 * fu) * fv)
+
+    img = jnp.where(hit, tex, 0.0)
+    depth = jnp.where(hit, best_t, 0.0)
     return img.reshape(height, width), depth.reshape(height, width)
+
+
+_render_batch_jit = None
+
+
+def _render_views(planes, origins, rots, fx, fy, cx, cy, width, height,
+                  t_min=0.25, chunk: int = 8):
+    """Ray-cast V camera views.  Returns (images [V,H,W] in [0,1], z-depth).
+
+    Views render vmapped in chunks of `chunk` per jitted call: one call per
+    view would pay the device-dispatch round trip 2*n_frames times (which
+    dwarfs the render on a remote-tunnel TPU), while one call for all views
+    would hold [V, H*W, K] intermediates.  8 VGA views x ~30 planes is
+    ~2 GB of fused temporaries — comfortably within HBM.
+    """
+    global _render_batch_jit
+    import jax
+
+    sig = (width, height, float(t_min))
+    if _render_batch_jit is None or _render_batch_jit[0] != sig:
+
+        def one(pa_, o_, r_, fx_, fy_, cx_, cy_):
+            return _render_view_jax(pa_, o_, r_, fx_, fy_, cx_, cy_,
+                                    width, height, t_min)
+
+        _render_batch_jit = (sig, jax.jit(
+            jax.vmap(one, in_axes=(None, 0, 0, None, None, None, None))))
+    pa = _stack_planes(planes)
+    V = origins.shape[0]
+    imgs = np.empty((V, height, width), np.float64)
+    deps = np.empty((V, height, width), np.float64)
+    for s in range(0, V, chunk):
+        e = min(s + chunk, V)
+        # Pad the tail chunk so every call shares one compiled program.
+        pad = chunk - (e - s)
+        o = np.concatenate([origins[s:e], origins[e - 1:e].repeat(pad, 0)])
+        r = np.concatenate([rots[s:e], rots[e - 1:e].repeat(pad, 0)])
+        im, dp = _render_batch_jit[1](
+            pa, jnp.asarray(o, jnp.float32), jnp.asarray(r, jnp.float32),
+            float(fx), float(fy), float(cx), float(cy))
+        imgs[s:e] = np.asarray(im)[: e - s]
+        deps[s:e] = np.asarray(dp)[: e - s]
+    return imgs, deps
 
 
 def _square_path(room, margin=4.0, corner_radius=1.5):
@@ -559,24 +655,30 @@ def generate_textured_sequence(
     cx, cy = float(cam.cx), float(cam.cy)
     baseline = float(cam.baseline)
 
+    # Render all 2*n views batched on the device (one vmapped jit call per
+    # chunk — per-call dispatch over a remote-tunnel TPU costs more than the
+    # render itself, so views must not be issued one by one).
+    origins = np.empty((n_frames, 2, 3), np.float64)
+    rots = np.empty((n_frames, 3, 3), np.float64)
+    for i in range(n_frames):
+        t_wi = poses[i].astype(np.float64) @ t_ri
+        rots[i] = t_wi[:3, :3]
+        origins[i, 0] = t_wi[:3, 3]
+        origins[i, 1] = t_wi[:3, 3] + rots[i] @ np.array([baseline, 0.0, 0.0])
+    imgs, deps = _render_views(planes, origins.reshape(-1, 3),
+                               np.repeat(rots, 2, axis=0), fx, fy, cx, cy,
+                               width, height)
+
     gain, bias = 1.0, 0.0
     lefts, rights, depths = [], [], []
     for i in range(n_frames):
-        t_wi = poses[i].astype(np.float64) @ t_ri
-        r_wi = t_wi[:3, :3]
-        o_l = t_wi[:3, 3]
-        o_r = o_l + r_wi @ np.array([baseline, 0.0, 0.0])
-        img_l, dep = _render_world(planes, o_l, r_wi, fx, fy, cx, cy,
-                                   width, height)
-        img_r, _ = _render_world(planes, o_r, r_wi, fx, fy, cx, cy,
-                                 width, height)
-        for img, dst in ((img_l, lefts), (img_r, rights)):
+        for img, dst in ((imgs[2 * i], lefts), (imgs[2 * i + 1], rights)):
             out = (img * 175.0 + 35.0) * gain + bias
             if pixel_noise > 0:
                 out = out + rng.normal(scale=pixel_noise, size=out.shape)
             dst.append(np.clip(out, 0.0, 255.0).astype(np.float32))
         if with_depth:
-            depths.append(dep.astype(np.float32))
+            depths.append(deps[2 * i].astype(np.float32))
         if exposure_drift > 0:
             gain = float(np.clip(gain * np.exp(
                 rng.normal(scale=exposure_drift)), 0.6, 1.6))
@@ -604,7 +706,7 @@ def generate_textured_sequence(
     )
 
 
-_SIM_CACHE_VERSION = 2
+_SIM_CACHE_VERSION = 3  # v3: float32 XLA renderer (pixel values shift ~1e-6)
 
 
 def cached_textured_sequence(**kwargs) -> SimSequence:
