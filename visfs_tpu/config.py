@@ -45,6 +45,12 @@ _REGISTRY: Tuple[Tuple[str, str, type, Any, str], ...] = (
     ("Tracker", "FlowMaxLevel", int, 3,
      "Maximal pyramid level number; if set to 0, pyramids are not used "
      "(single level)"),
+    ("Tracker", "FlowRegionExtract", str, "auto",
+     "TPU-native extension (no reference analogue): how LK pulls patch "
+     "regions from the level images — 'matmul' (one-hot selector "
+     "contractions; best single-stream latency), 'gather' (one DMA row "
+     "gather; best fleet/batched throughput), or 'auto' (matmul for "
+     "System, gather for FleetSystem)."),
     ("Tracker", "FlowComputeDtype", str, "float32",
      "TPU-native extension (no reference analogue): dtype of the LK "
      "pyramid/patch-sampling math — 'float32' (exact reference semantics) "

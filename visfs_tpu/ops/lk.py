@@ -56,6 +56,14 @@ class LKParams(NamedTuple):
     # matmuls; False = tent selectors against the full level image.  Both
     # are numerically identical; see _track_level.
     setup_region: bool = True
+    # How the integer-aligned row regions are pulled out of the level
+    # image: "matmul" = one-hot selector contraction (fuses into the MXU
+    # stream; best single-stream latency), "gather" = one jnp.take of the
+    # region rows (one DMA gather; ~HBM-bandwidth cost, amortizes the TPU
+    # gather latency floor across a vmapped fleet axis, where the one-hot
+    # contraction's N*Rows*H*W FLOPs scale linearly with batch).
+    # Numerically identical either way.
+    region_extract: str = "matmul"
     # "jnp" (default) or "pallas".  The Pallas kernel (ops/pallas) keeps
     # each pyramid level resident in VMEM and runs one feature's full
     # iteration loop per grid step with aligned-block loads + dynamic
@@ -148,17 +156,27 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         six = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, w - Rs)
         siy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, h - Rs)
         taps_s = jnp.arange(Rs, dtype=jnp.int32)
-        ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
-              == (siy[:, None, None] + taps_s[None, :, None])).astype(fdtype)
         rx = (jnp.arange(w, dtype=jnp.int32)[None, None, :]
               == (six[:, None, None] + taps_s[None, :, None])).astype(fdtype)
-        reg3 = []
-        for plane in (img_from, grad_x, grad_y):
-            rows_p = jnp.einsum("nrh,hw->nrw", ry, plane,
-                                preferred_element_type=fdtype)
-            reg3.append(jnp.einsum("nrw,ncw->nrc", rows_p, rx,
-                                   preferred_element_type=fdtype))
-        reg3 = jnp.stack(reg3, axis=1)  # [N, 3, Rs, Rs]
+        if params.region_extract == "gather":
+            # One row gather for all three planes, then one-hot column
+            # contraction inside the [N, Rs, W] strip (cheap: W-sized).
+            stack3 = jnp.stack([img_from, grad_x, grad_y])  # [3, H, W]
+            ridx = siy[:, None] + taps_s[None, :]  # [N, Rs]
+            rows3 = jnp.take(stack3, ridx, axis=1)  # [3, N, Rs, W]
+            reg3 = jnp.einsum("snrw,ncw->nsrc", rows3, rx,
+                              preferred_element_type=fdtype)
+        else:
+            ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
+                  == (siy[:, None, None]
+                      + taps_s[None, :, None])).astype(fdtype)
+            reg3 = []
+            for plane in (img_from, grad_x, grad_y):
+                rows_p = jnp.einsum("nrh,hw->nrw", ry, plane,
+                                    preferred_element_type=fdtype)
+                reg3.append(jnp.einsum("nrw,ncw->nrc", rows_p, rx,
+                                       preferred_element_type=fdtype))
+            reg3 = jnp.stack(reg3, axis=1)  # [N, 3, Rs, Rs]
         offy = y0 - siy.astype(F)
         offx = x0 - six.astype(F)
         taps_r = jnp.arange(Rs, dtype=F)
@@ -251,12 +269,16 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
         jnp.floor(ctr[:, 1]).astype(jnp.int32) - half - margin, 0, h - R
     )
     taps_r = jnp.arange(R, dtype=jnp.int32)
-    ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
-          == (oiy[:, None, None] + taps_r[None, :, None])).astype(fdtype)
     rx = (jnp.arange(w, dtype=jnp.int32)[None, None, :]
           == (oix[:, None, None] + taps_r[None, :, None])).astype(fdtype)
-    region_rows = jnp.einsum("nph,hw->npw", ry, img_to,
-                             preferred_element_type=fdtype)  # [N, R, W]
+    if params.region_extract == "gather":
+        region_rows = jnp.take(
+            img_to, oiy[:, None] + taps_r[None, :], axis=0)  # [N, R, W]
+    else:
+        ry = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
+              == (oiy[:, None, None] + taps_r[None, :, None])).astype(fdtype)
+        region_rows = jnp.einsum("nph,hw->npw", ry, img_to,
+                                 preferred_element_type=fdtype)  # [N, R, W]
     region = jnp.einsum("npw,nqw->npq", region_rows, rx,
                         preferred_element_type=fdtype)  # [N, R, R]
     origin = jnp.stack([oix, oiy], axis=-1).astype(F)  # (x, y) corners

@@ -111,6 +111,13 @@ class FleetSystem:
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
             compute_dtype=self.cfg.tracker_flow_compute_dtype,
+            # Batched streams amortize the gather latency floor; the
+            # one-hot contraction's FLOPs scale linearly with B (measured
+            # in tools/fleet_prof notes — track stage 10.6 -> 75 ms at
+            # B=8 under "matmul").
+            region_extract=(
+                "gather" if self.cfg.tracker_flow_region_extract == "auto"
+                else self.cfg.tracker_flow_region_extract),
         )
         self._cfg_hash = build_cfg_hash(self.cfg)
         self._capacity_factor = feature_capacity_factor

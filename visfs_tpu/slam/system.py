@@ -348,6 +348,9 @@ class System:
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
             compute_dtype=self.cfg.tracker_flow_compute_dtype,
+            region_extract=(
+                "matmul" if self.cfg.tracker_flow_region_extract == "auto"
+                else self.cfg.tracker_flow_region_extract),
         )
         self._cfg_hash = build_cfg_hash(self.cfg)
         self._capacity_factor = feature_capacity_factor
