@@ -33,6 +33,18 @@ class TestMonitor:
         # tracked keypoints drew some red pixels
         red = (img[:, :w, 0] == 255) & (img[:, :w, 1] == 64)
         assert red.sum() > 10
+        # depth labels drew green bitmap-font pixels on the LEFT half
+        # (Monitor.cpp:76; right-half green is the stereo crosses)
+        green = (img[:, :w, 0] == 64) & (img[:, :w, 1] == 220)
+        assert green.sum() > 10
+
+    def test_draw_text_glyphs(self):
+        img = np.zeros((10, 40, 3), np.uint8)
+        monitor._draw_text(img, 1, 2, "-3.7", (255, 255, 255))
+        # four glyph cells, each 3 px wide on a 4 px pitch
+        assert img[:, :, 0].sum() > 0
+        cols = np.nonzero(img[:, :, 0].any(axis=0))[0]
+        assert cols.min() >= 1 and cols.max() <= 1 + 4 * 4
 
     def test_render_submap_none_without_laser(self):
         seq = generate_sequence(n_frames=2, n_points=200, seed=32)

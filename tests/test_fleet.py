@@ -113,3 +113,93 @@ class TestFleetEquivalence:
     def test_laser_strategy_rejected(self):
         with pytest.raises(NotImplementedError):
             FleetSystem({"System/SensorStrategy": 3}, n_streams=2)
+
+
+class TestDpLaserFleet:
+    """Laser (strategy-3) fleets ride the cross-chip dp axis: one stream
+    per device of the virtual 8-device mesh via dp_fleet_step (the submap
+    cond branches stay scalar inside each shard, so every sensor strategy
+    works — the within-chip vmap fleet cannot carry them)."""
+
+    def test_dp_strategy3_matches_single_stream(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from visfs_tpu.slam import system as S
+        from visfs_tpu.slam.fleet import dp_fleet_step, _push_odometry_fleet
+
+        B = 8
+        seq = generate_sequence(n_frames=4, n_points=200, width=160,
+                                height=120, seed=11, motion="arc",
+                                with_laser=True, n_beams=60)
+        params = {
+            "System/SensorStrategy": 3,
+            "Tracker/MaxFeatures": 60,
+            "Tracker/MinDistance": 12,
+            "Optimizer/Iterations": 4,
+            "LocalMap/NumRangeDataLimit": 20,
+        }
+        cam = seq.camera
+
+        def make(seed):
+            sys_ = System(params, scan_capacity=128,
+                          submap_extent_cells=128, seed=seed)
+            _init(sys_, cam)
+            return sys_
+
+        # Single-stream reference (seed 0).
+        ref = make(0)
+        outs_ref = ref.run_sequence(
+            seq.stamps, seq.left, seq.right, wheel_odom=seq.wheel_odom,
+            scans=seq.laser_scans,
+        )
+        ref_traj = np.stack([np.asarray(o.pose) for o in outs_ref])
+
+        # dp fleet: B identical streams (same seed 0 => same trajectory).
+        proto = make(0)
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * B), proto.state)
+        mesh = Mesh(np.array(jax.devices()[:B]), ("dp",))
+
+        def pad_scan(scan):
+            K = 128
+            pts = np.zeros((K, 3), np.float32)
+            msk = np.zeros((K,), bool)
+            scan = np.asarray(scan, np.float32)[:K]
+            pts[: len(scan)] = scan
+            msk[: len(scan)] = True
+            return pts, msk
+
+        tile = lambda x: jnp.asarray(np.broadcast_to(
+            np.asarray(x)[None], (B,) + np.asarray(x).shape))
+
+        fleet_traj = []
+        odom_i = 0
+        wheel = seq.wheel_odom
+        for i in range(len(seq.stamps)):
+            while (odom_i < len(wheel)
+                   and wheel[odom_i][0] <= seq.stamps[i] + 1e-9):
+                row = wheel[odom_i]
+                states = _push_odometry_fleet(
+                    states, tile(np.float32(row[0])),
+                    tile(np.asarray(row[1:7], np.float32)),
+                    tile(np.zeros(6, np.float32)), tile(True),
+                )
+                odom_i += 1
+            pts, msk = pad_scan(seq.laser_scans[i])
+            states, out = dp_fleet_step(
+                mesh, states, tile(seq.left[i]), tile(seq.right[i]),
+                tile(np.float32(seq.stamps[i])), proto.camera,
+                proto.settings, proto.lk_params, proto._cfg_hash,
+                scan_points=tile(pts), scan_mask=tile(msk),
+            )
+            fleet_traj.append(np.asarray(out.pose))
+
+        fleet_traj = np.stack(fleet_traj)  # [T, B, 4, 4]
+        for b in range(B):
+            np.testing.assert_allclose(fleet_traj[:, b], ref_traj,
+                                       atol=5e-3)
+        # the submaps actually accumulated laser data in every shard
+        sub_valid = np.asarray(states.laser.submaps.slot_valid)
+        assert sub_valid.any(axis=-1).all()

@@ -17,20 +17,33 @@ from jax.sharding import Mesh
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
+                         process_id: Optional[int] = None) -> bool:
     """jax.distributed bring-up for multi-host pods (DCN).
 
-    No-ops when JAX already initialized distributed state or when running
-    single-process (e.g. tests / single chip).
+    Returns True when distributed state is live after the call.  Two
+    failure modes are deliberately benign no-ops (returning False):
+    distributed already initialized (repeat bring-up), and argless
+    auto-detection finding no cluster (plain single-process run).  A
+    failure with EXPLICIT arguments — a typo'd coordinator address, a bad
+    process id — re-raises instead of silently degrading to single-process
+    (a 2-host run that quietly becomes two 1-host runs would diverge
+    without any error; tests/test_dcn.py pins the live path).
     """
+    if jax.distributed.is_initialized():
+        return True
+    explicit = any(v is not None for v in
+                   (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return True
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        if explicit:
+            raise
+        return False  # no cluster detected: legitimate single-process run
 
 
 def landmark_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -68,6 +68,74 @@ fleet_step = partial(
 )(fleet_step_impl)
 
 
+def dp_fleet_step(mesh, states, lefts, rights, stamps, cam, cfg_est,
+                  lk_params, cfg_hash, scan_points=None, scan_mask=None,
+                  scan_times=None):
+    """Cross-chip fleet: one VO stream per device of a 1-D ``dp`` mesh.
+
+    Unlike the within-chip vmapped ``fleet_step`` (strategies 0-2 only —
+    vmap would densify the active-submap cond branches), each dp shard runs
+    the plain single-stream ``vo_step_impl``, so EVERY sensor strategy —
+    including the laser/occupancy modes 3-5 — rides this axis unchanged:
+    the multi-robot mapping configuration (simMapping.launch, SensorStrategy
+    3) scales robot-per-chip.  All leading axes are sharded over ``dp`` and
+    must equal the mesh size (one stream per device; stack tighter fleets
+    within a shard via FleetSystem for strategies 0-2).
+
+    Returns (new_states, outputs) with the same [B] leading axis.
+    """
+    with_scan = scan_points is not None
+    fn = _dp_fleet_fn(mesh, cfg_est, lk_params, cfg_hash, with_scan)
+    args = (states, lefts, rights, stamps)
+    if with_scan:
+        if scan_times is None:
+            scan_times = jnp.zeros(scan_mask.shape, jnp.float32)
+        args = args + (scan_points, scan_mask, scan_times)
+    return fn(cam, *args)
+
+
+_DP_FLEET_CACHE: dict = {}
+
+
+def _dp_fleet_fn(mesh, cfg_est, lk_params, cfg_hash, with_scan):
+    """Compiled dp-sharded step, memoized per (mesh, static config)."""
+    key = (mesh, cfg_est, lk_params, cfg_hash, with_scan)
+    fn = _DP_FLEET_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    take0 = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+    # FrameOutput carries python-scalar defaults (timing fields) in the
+    # fused path; promote to arrays before adding the shard axis.
+    add_axis = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x)[None], t)
+
+    def one(cam, st, left, right, stamp, *scan_args):
+        kw = {}
+        if with_scan:
+            sp, sm, stt = scan_args
+            kw = dict(scan_points=sp[0], scan_mask=sm[0], scan_times=stt[0])
+        st1, out = vo_step_impl(
+            take0(st), left[0], right[0], stamp[0], cam, cfg_est, lk_params,
+            cfg_hash, **kw,
+        )
+        return add_axis(st1), add_axis(out)
+
+    n_args = 7 if with_scan else 4
+    mapped = shard_map(
+        one, mesh=mesh,
+        in_specs=(P(),) + tuple(P("dp") for _ in range(n_args)),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    fn = jax.jit(mapped)
+    _DP_FLEET_CACHE[key] = fn
+    return fn
+
+
 @jax.jit
 def _push_odometry_fleet(states, stamps, pose6, vel6, valid):
     """Push one wheel-odometry sample per stream (masked by ``valid``)."""
@@ -100,8 +168,9 @@ class FleetSystem:
         if self.cfg.system_sensor_strategy >= 3:
             raise NotImplementedError(
                 "FleetSystem supports strategies 0-2; laser fleets would "
-                "vmap the submap cond branches into dense selects — run "
-                "laser streams as separate System instances or dp shards."
+                "vmap the submap cond branches into dense selects — use "
+                "dp_fleet_step (one stream per device on a dp mesh, all "
+                "strategies) or separate System instances."
             )
         self.n_streams = int(n_streams)
         self.settings = _build_settings(self.cfg)
@@ -111,6 +180,7 @@ class FleetSystem:
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
             compute_dtype=self.cfg.tracker_flow_compute_dtype,
+            unroll=self.cfg.tracker_flow_unroll,
             # Batched streams amortize the gather latency floor; the
             # one-hot contraction's FLOPs scale linearly with B (measured
             # in tools/fleet_prof notes — track stage 10.6 -> 75 ms at

@@ -2,10 +2,11 @@
 
 Mirrors corelib/src/Monitor.cpp:37-96 without the cv::imshow dependency:
 renders the stitched stereo pair with tracked (red) / newly-extracted (blue)
-/ blocked (yellow) keypoints, left-right match lines with depth labels
-omitted (numeric overlay needs a font stack), and the current submap image.
-Output is plain numpy RGB arrays the host can save or stream; rendering is
-pull-based from VOState instead of a third thread + queue.
+/ blocked (yellow) keypoints, left-right match lines with per-match depth
+labels (Monitor.cpp:76, via a built-in 3x5 bitmap font instead of
+cv::putText), and the current submap image.  Output is plain numpy RGB
+arrays the host can save or stream; rendering is pull-based from VOState
+instead of a third thread + queue.
 """
 
 from __future__ import annotations
@@ -41,6 +42,31 @@ def _draw_line(img, x0, y0, x1, y1, color):
     img[ys[ok], xs[ok]] = color
 
 
+# 3x5 bitmap glyphs for the depth labels (rows top-down, 3-bit masks).
+_GLYPHS = {
+    "0": (7, 5, 5, 5, 7), "1": (2, 6, 2, 2, 7), "2": (7, 1, 7, 4, 7),
+    "3": (7, 1, 7, 1, 7), "4": (5, 5, 7, 1, 1), "5": (7, 4, 7, 1, 7),
+    "6": (7, 4, 7, 5, 7), "7": (7, 1, 2, 2, 2), "8": (7, 5, 7, 5, 7),
+    "9": (7, 5, 7, 1, 7), ".": (0, 0, 0, 0, 2), "-": (0, 0, 7, 0, 0),
+}
+
+
+def _draw_text(img, x, y, text, color):
+    """Tiny bitmap text at (x, y) = top-left corner."""
+    h, w = img.shape[:2]
+    cx = int(round(x))
+    for ch in str(text):
+        g = _GLYPHS.get(ch)
+        if g is not None:
+            for r, bits in enumerate(g):
+                for c in range(3):
+                    if bits & (4 >> c):
+                        yy, xx = int(round(y)) + r, cx + c
+                        if 0 <= yy < h and 0 <= xx < w:
+                            img[yy, xx] = color
+        cx += 4
+
+
 def render_frame(state, left, right) -> np.ndarray:
     """Stitched L|R debug image with keypoint overlays (Monitor.cpp:44-90)."""
     left_rgb = _to_rgb(left)
@@ -55,6 +81,7 @@ def render_frame(state, left, right) -> np.ndarray:
     uv = np.asarray(f.uv[:, cur])
     uvr = np.asarray(f.uv_right[:, cur])
     cnt = np.asarray(f.track_cnt)
+    depth = np.asarray(f.depth[:, cur])
     start = np.asarray(f.start_frame)
     frame_id = int(state.frame_count) - 1
 
@@ -65,6 +92,10 @@ def render_frame(state, left, right) -> np.ndarray:
         if cnt[i] > 1:
             _draw_line(canvas, uv[i, 0], uv[i, 1], uvr[i, 0] + w, uvr[i, 1],
                        (80, 80, 80))
+        # Per-match depth label next to the left keypoint (Monitor.cpp:76).
+        z = float(depth[i])
+        if np.isfinite(z) and z > 0:
+            _draw_text(canvas, uv[i, 0] + 4, uv[i, 1] + 3, f"{z:.1f}", GREEN)
 
     blocked = np.asarray(state.blocked_valid)
     buv = np.asarray(state.blocked_uv)
