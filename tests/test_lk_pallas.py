@@ -65,3 +65,42 @@ def test_pallas_inactive_features_pass_through():
     )
     # inactive feature untouched
     np.testing.assert_array_equal(np.asarray(flow[0]), np.asarray(flow0[0]))
+
+
+def test_xcorr_iteration_matches_direct():
+    """The correlation-form iteration (LKParams.iter_mode='xcorr') equals
+    the direct patch-sampling form up to float reassociation, and the
+    Pallas loop kernel (interpret mode here) matches the jnp xcorr path."""
+    img0 = texture(120, 160, seed=9)
+    img1 = jnp.roll(jnp.roll(img0, 1, axis=0), 2, axis=1)
+    base = dict(win_size=11, iterations=20, eps=0.01)
+    pad = 11 // 2 + 2
+    imf = jnp.pad(img0, pad, mode="edge")
+    imt = jnp.pad(img1, pad, mode="edge")
+    gx, gy = scharr_gradients(imf)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(20, 90, size=(16, 2)), jnp.float32) + pad
+    flow0 = jnp.zeros((16, 2), jnp.float32)
+    active = jnp.ones(16, bool)
+
+    outs = {}
+    for name, p in [
+        ("direct", LKParams(**base, iter_mode="direct")),
+        ("xcorr-jnp", LKParams(**base, iter_mode="xcorr",
+                               backend="jnp-xcorr")),
+        ("xcorr-pallas", LKParams(**base, iter_mode="xcorr",
+                                  backend="pallas-xcorr")),
+    ]:
+        outs[name] = _track_level(imf, imt, gx, gy, pts, flow0, active, p)
+
+    f_direct, ok_d, eig_d = outs["direct"]
+    for name in ("xcorr-jnp", "xcorr-pallas"):
+        f, ok, eig = outs[name]
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_direct),
+                                   atol=0.02, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_d))
+        np.testing.assert_allclose(np.asarray(eig), np.asarray(eig_d),
+                                   rtol=1e-4)
+    # the two xcorr backends are the same formulation — tighter agreement
+    np.testing.assert_allclose(np.asarray(outs["xcorr-pallas"][0]),
+                               np.asarray(outs["xcorr-jnp"][0]), atol=2e-3)

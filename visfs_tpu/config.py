@@ -56,6 +56,11 @@ _REGISTRY: Tuple[Tuple[str, str, type, Any, str], ...] = (
      "pyramid/patch-sampling math — 'float32' (exact reference semantics) "
      "or 'bfloat16' (MXU-native-rate sampling, ~0.4% pixel rounding; "
      "coordinates, G statistics and flow stay float32)."),
+    ("Tracker", "FlowUnroll", int, 3,
+     "TPU-native extension (no reference analogue): LK iterations per "
+     "while-loop step.  >= FlowIterations turns the loop into a fully "
+     "static chain (no early-exit bookkeeping, maximal async pipelining); "
+     "converged features' updates are masked so semantics never change."),
     ("Tracker", "CullByFundationMatrix", bool, False,
      "Use fundation matrix to cull out the outliers in the result of "
      "feature match."),

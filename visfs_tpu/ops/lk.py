@@ -72,6 +72,21 @@ class LKParams(NamedTuple):
     # all features through selector-matmul sampling — measured ~1.6x faster
     # at 240 features / VGA — so jnp is the default.
     backend: str = "jnp"
+    # Iteration-loop formulation:
+    #   "xcorr"  (default): the per-iteration patch sample collapses to a
+    #     bilinear lookup in per-feature cross-correlation maps
+    #     C1[a,b] = sum_pq region[a+p, b+q] * gx[p,q] (and C2 for gy),
+    #     computed once at level setup — EXACTLY equal (up to float
+    #     reassociation) to sampling the patch and reducing against the
+    #     gradients, because bilinear sampling is linear in integer shifts.
+    #     Each iteration then costs ~2x484 MACs/feature instead of two
+    #     patch matmuls, and on TPU the whole loop runs inside ONE Pallas
+    #     kernel (ops/pallas/lk_xcorr.py) — the fused-step's dominant cost
+    #     was ~2000 tiny per-iteration kernel launches.
+    #   "direct": sample the patch every iteration via tent-selector
+    #     matmuls (the round-3 formulation; reference for equivalence
+    #     tests).
+    iter_mode: str = "xcorr"
 
 
 class LKResult(NamedTuple):
@@ -286,6 +301,11 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     taps = jnp.arange(R, dtype=F)  # [R]
     prows = jnp.arange(win, dtype=F)  # [win]
 
+    if params.iter_mode == "xcorr":
+        return _iterate_xcorr(region, patch_i, gx, gy, gi11, gi12, gi22,
+                              ok_g, min_eig, pts_from, flow, active, origin,
+                              half, params)
+
     def sample_patches(flow):
         # top-left corner of the patch in region coordinates
         offx = pts_from[:, 0].astype(F) + flow[:, 0] - half - origin[:, 0]
@@ -327,6 +347,107 @@ def _track_level(img_from, img_to, grad_x, grad_y, pts_from, flow, active,
     # masked to zero, so a coarser eps-exit granularity is harmless; the
     # iteration CAP stays exact — the while loop runs the largest multiple
     # of `unroll` below it and the remainder is peeled afterwards.
+    unroll = min(max(params.unroll, 1), max(params.iterations, 1))
+    main_iters = (params.iterations // unroll) * unroll
+
+    def body(carry):
+        flow, active_now, it = carry
+        for _ in range(unroll):
+            flow, active_now = one_step(flow, active_now)
+        return flow, active_now, it + unroll
+
+    def cond(carry):
+        _, active_now, it = carry
+        return (it < main_iters) & jnp.any(active_now)
+
+    flow, active_now, _ = jax.lax.while_loop(
+        cond, body, (flow, active & ok_g, jnp.zeros((), jnp.int32))
+    )
+    for _ in range(params.iterations - main_iters):
+        flow, active_now = one_step(flow, active_now)
+    return flow, ok_g, min_eig
+
+
+def _xcorr_maps(region, gx, gy, win: int):
+    """Per-feature cross-correlation maps of the `to` region against the
+    `from` gradients: C[n,a,b] = sum_pq region[n,a+p,b+q] * g[n,p,q].
+
+    Two-stage contraction with static shifted slices (no gathers): stack
+    the win row-shifts of the region, contract p on the MXU, then sum the
+    win shifted column-diagonals.  ~N*A*R*win^2 MACs — about the cost of
+    EIGHT direct iterations, amortizing the 30-iteration loop.
+    """
+    N, R, _ = region.shape
+    A = R - win + 1
+    F = jnp.float32
+    # RS[n, p, a, c] = region[n, a+p, c]
+    RS = jnp.stack([region[:, p:p + A, :] for p in range(win)], axis=1)
+    Y1 = jnp.einsum("npac,npq->nacq", RS, gx, preferred_element_type=F)
+    Y2 = jnp.einsum("npac,npq->nacq", RS, gy, preferred_element_type=F)
+    C1 = sum(Y1[:, :, q:q + A, q] for q in range(win))  # [N, A, A]
+    C2 = sum(Y2[:, :, q:q + A, q] for q in range(win))
+    return C1, C2
+
+
+def _iterate_xcorr(region, patch_i, gx, gy, gi11, gi12, gi22, ok_g, min_eig,
+                   pts_from, flow, active, origin, half, params: LKParams):
+    """LK iteration loop in correlation form (see LKParams.iter_mode).
+
+    b1 = sum (patch_i - patch_j) * gx = c1_const - bilinear(C1, off), and
+    likewise for gy — exact up to float reassociation, since the bilinear
+    patch sample is linear in the four integer-shifted patches.
+    """
+    F = jnp.float32
+    win = params.win_size
+    N, R, _ = region.shape
+    A = R - win + 1
+    C1, C2 = _xcorr_maps(region, gx, gy, win)
+    c1_const = jnp.sum(patch_i * gx, axis=(1, 2))
+    c2_const = jnp.sum(patch_i * gy, axis=(1, 2))
+    base_x = pts_from[:, 0].astype(F) - half - origin[:, 0]
+    base_y = pts_from[:, 1].astype(F) - half - origin[:, 1]
+
+    # Backend: the Pallas loop kernel on real TPUs ("pallas-xcorr" forces
+    # it, running the interpreter off-TPU for tests), the jnp while_loop
+    # otherwise ("jnp-xcorr" forces that even on TPU).
+    if params.backend == "jnp-xcorr":
+        use_pallas = False
+    elif params.backend == "pallas-xcorr":
+        use_pallas = True
+    else:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.lk_xcorr import lk_xcorr_iterate
+
+        return lk_xcorr_iterate(
+            C1, C2, c1_const, c2_const, gi11, gi12, gi22,
+            base_x, base_y, flow, active & ok_g,
+            iterations=params.iterations, eps=params.eps,
+            max_off=float(R - win - 1),
+            interpret=(jax.default_backend() != "tpu"),
+        ), ok_g, min_eig
+
+    ar = jnp.arange(A, dtype=F)
+
+    def interp(C, wa, wb):
+        return jnp.einsum("nab,na,nb->n", C, wa, wb,
+                          preferred_element_type=F)
+
+    def one_step(flow, active_now):
+        offx = jnp.clip(base_x + flow[:, 0], 0.0, R - win - 1.0)
+        offy = jnp.clip(base_y + flow[:, 1], 0.0, R - win - 1.0)
+        wa = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, :] - offy[:, None]))
+        wb = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, :] - offx[:, None]))
+        b1 = c1_const - interp(C1, wa, wb)
+        b2 = c2_const - interp(C2, wa, wb)
+        dx = gi11 * b1 + gi12 * b2
+        dy = gi12 * b1 + gi22 * b2
+        step = jnp.stack([dx, dy], axis=-1)
+        new_flow = flow + jnp.where(active_now[:, None], step, 0.0)
+        step_sq = jnp.sum(step * step, axis=-1)
+        still = active_now & (step_sq >= params.eps * params.eps)
+        return new_flow, still
+
     unroll = min(max(params.unroll, 1), max(params.iterations, 1))
     main_iters = (params.iterations // unroll) * unroll
 

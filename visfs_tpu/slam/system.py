@@ -348,6 +348,7 @@ class System:
             iterations=self.cfg.tracker_flow_iterations,
             eps=self.cfg.tracker_flow_eps,
             compute_dtype=self.cfg.tracker_flow_compute_dtype,
+            unroll=self.cfg.tracker_flow_unroll,
             region_extract=(
                 "matmul" if self.cfg.tracker_flow_region_extract == "auto"
                 else self.cfg.tracker_flow_region_extract),
