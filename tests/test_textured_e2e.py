@@ -109,7 +109,10 @@ def test_drifted_loop_closure():
         room=ROOM, n_pillars=4, pixel_noise=2.0, exposure_drift=0.02,
         loops=1.6,
     )
-    s = _build(seq, {"Tracker/MaxFeatures": 60, "Tracker/MinDistance": 10,
+    # 80 features (vs 120 nominal): starved enough to drift, but able to
+    # track 8-bit-quantized frames — at 60 the quantized (camera-realistic)
+    # render collapses outright (cached_textured_sequence quantizes).
+    s = _build(seq, {"Tracker/MaxFeatures": 80, "Tracker/MinDistance": 10,
                      "Optimizer/Iterations": 4})
     backend = MappingBackend(edge_mesh(), max_nodes=96, max_edges=384)
     outs, frames_of = [], []

@@ -743,6 +743,15 @@ def cached_textured_sequence(**kwargs) -> SimSequence:
         except Exception:
             pass  # stale/corrupt cache: regenerate
     seq = generate_textured_sequence(**{k: v for k, v in kwargs.items()})
+    # Quantize to 8-bit BEFORE returning, not just before saving: real
+    # cameras emit 8-bit frames, and the cache stores uint8 — returning the
+    # raw float render on a cold cache would make cold and warm runs see
+    # different pixels (found the hard way: a bistable starved-budget test
+    # passed on the cold render and failed on every warm rerun).
+    seq = seq._replace(
+        left=np.clip(seq.left, 0, 255).astype(np.uint8).astype(np.float32),
+        right=np.clip(seq.right, 0, 255).astype(np.uint8).astype(np.float32),
+    )
     arrays = dict(
         left=np.clip(seq.left, 0, 255).astype(np.uint8),
         right=np.clip(seq.right, 0, 255).astype(np.uint8),

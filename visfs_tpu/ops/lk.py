@@ -86,7 +86,16 @@ class LKParams(NamedTuple):
     #   "direct": sample the patch every iteration via tent-selector
     #     matmuls (the round-3 formulation; reference for equivalence
     #     tests).
-    iter_mode: str = "xcorr"
+    # Measured on the real chip (round 4): the xcorr map SETUP is a
+    # batched-small-matmul ("npac,npq->nacq", batch 360, inner dims 21-42)
+    # that the MXU pads to 128-lane tiles at ~3% utilization — ~0.65 ms
+    # per level vs ~0.19 ms for the ENTIRE direct iteration sweep, so
+    # xcorr loses end-to-end (48 vs 70 fps) despite its in-kernel loop
+    # being ~free.  It also perturbs the textured-bench trajectory (ATE
+    # 0.38 vs 0.17; sub-eps convergence-path divergence compounds over
+    # 300 frames).  Kept as an opt-in experiment; "direct" is the
+    # production default.
+    iter_mode: str = "direct"
 
 
 class LKResult(NamedTuple):

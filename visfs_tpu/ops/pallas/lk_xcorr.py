@@ -28,10 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(c1_ref, c2_ref, scal_ref, flow_in_ref, flow_out_ref, *,
-            A: int, lanes: int, iterations: int, eps: float, max_off: float):
+def _kernel(c1_ref, c2_ref, scal_ref, flow_in_ref, flow_out_ref, state_ref,
+            *, A: int, lanes: int, iterations: int, eps: float,
+            max_off: float):
     # scal: [N, 8] = (c1_const, c2_const, gi11, gi12, gi22, base_x, base_y,
-    #                 active)
+    #                 active).  Loop state (fx, fy, active) lives in the
+    # [N, 128] VMEM scratch — Mosaic cannot legalize narrow [N, 1] vector
+    # while-loop carries (vpad layouts at scf.yield), so the carry holds
+    # scalars only and the vectors round-trip through the scratch ref.
     c1c = scal_ref[:, 0:1]
     c2c = scal_ref[:, 1:2]
     gi11 = scal_ref[:, 2:3]
@@ -52,7 +56,19 @@ def _kernel(c1_ref, c2_ref, scal_ref, flow_in_ref, flow_out_ref, *,
 
     eps2 = eps * eps
 
-    def one_step(fx, fy, act):
+    state_ref[:, 0:1] = flow_in_ref[:, 0:1]
+    state_ref[:, 1:2] = flow_in_ref[:, 1:2]
+    state_ref[:, 2:3] = jnp.where(act0, 1.0, 0.0)
+
+    def cond(carry):
+        it, go = carry
+        return (it < iterations) & go
+
+    def body(carry):
+        it, _ = carry
+        fx = state_ref[:, 0:1]
+        fy = state_ref[:, 1:2]
+        act = state_ref[:, 2:3] > 0.0
         offx = jnp.clip(base_x + fx, 0.0, max_off)  # [N, 1]
         offy = jnp.clip(base_y + fy, 0.0, max_off)
         w = (jnp.maximum(0.0, 1.0 - jnp.abs(a_idx - offy))
@@ -61,27 +77,16 @@ def _kernel(c1_ref, c2_ref, scal_ref, flow_in_ref, flow_out_ref, *,
         b2 = c2c - jnp.sum(C2 * w, axis=1, keepdims=True)
         dx = gi11 * b1 + gi12 * b2
         dy = gi12 * b1 + gi22 * b2
-        fx = fx + jnp.where(act, dx, 0.0)
-        fy = fy + jnp.where(act, dy, 0.0)
-        act = act & ((dx * dx + dy * dy) >= eps2)
-        return fx, fy, act
+        new_act = act & ((dx * dx + dy * dy) >= eps2)
+        state_ref[:, 0:1] = fx + jnp.where(act, dx, 0.0)
+        state_ref[:, 1:2] = fy + jnp.where(act, dy, 0.0)
+        state_ref[:, 2:3] = jnp.where(new_act, 1.0, 0.0)
+        return it + 1, jnp.any(new_act)
 
-    def cond(carry):
-        _, _, act, it = carry
-        return (it < iterations) & jnp.any(act)
-
-    def body(carry):
-        fx, fy, act, it = carry
-        fx, fy, act = one_step(fx, fy, act)
-        return fx, fy, act, it + 1
-
-    fx0 = flow_in_ref[:, 0:1]
-    fy0 = flow_in_ref[:, 1:2]
-    fx, fy, _, _ = jax.lax.while_loop(
-        cond, body, (fx0, fy0, act0, jnp.zeros((), jnp.int32))
-    )
-    flow_out_ref[:, 0:1] = fx
-    flow_out_ref[:, 1:2] = fy
+    jax.lax.while_loop(cond, body,
+                       (jnp.zeros((), jnp.int32), jnp.any(act0)))
+    flow_out_ref[:, 0:1] = state_ref[:, 0:1]
+    flow_out_ref[:, 1:2] = state_ref[:, 1:2]
 
 
 @functools.partial(
@@ -122,6 +127,7 @@ def lk_xcorr_iterate(C1, C2, c1_const, c2_const, gi11, gi12, gi22,
         in_specs=[vspec, vspec, vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((Np, 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Np, 128), jnp.float32)],
         interpret=interpret,
     )(Cp1, Cp2, scal, flow_p)
     return out[:N]

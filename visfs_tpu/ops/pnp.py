@@ -206,7 +206,10 @@ def _smallest_two_eigvecs(A, iters: int = 6, second: bool = True):
             y = y - deflate * (deflate @ y)
             return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
 
-        return jax.lax.fori_loop(0, iters, body, x0)
+        # Static tiny trip count: unroll to straight-line code (the
+        # dynamic loop costs ~50 us/trip of scalar-cond sync on TPU;
+        # these unrolls measured ~+5 fps on the textured bench).
+        return jax.lax.fori_loop(0, iters, body, x0, unroll=True)
 
     # Deterministic, non-degenerate starts (ones + distinct axis kicks).
     base = jnp.ones(n, dtype) / jnp.sqrt(jnp.asarray(n, dtype))
@@ -245,7 +248,8 @@ def _horn_quat(S, iters: int = 16):
         return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
 
     q0 = jnp.array([1.0, 0.1, 0.1, 0.1], dtype)
-    q = jax.lax.fori_loop(0, iters, body, q0 / jnp.linalg.norm(q0))
+    q = jax.lax.fori_loop(0, iters, body, q0 / jnp.linalg.norm(q0),
+                          unroll=True)
     return jnp.where(q[0] < 0, -q, q)
 
 

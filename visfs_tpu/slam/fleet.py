@@ -1,19 +1,21 @@
 """FleetSystem: B independent VO streams per chip via one vmapped step.
 
-A single VO stream leaves a TPU chip nearly idle: at 120 features / VGA the
-fused ``vo_step`` is a chain of small kernels whose sequential latency — not
-arithmetic throughput — sets the frame time.  Batching B independent streams
-through ``jax.vmap`` multiplies the arithmetic intensity of every kernel at
-the SAME sequential depth, so aggregate frames/s/chip scales with B until
-the MXU/VPU saturate.  This is the TPU-native answer to "more robots per
-deployment": the reference runs one single-robot process per odometry
-stream (Interface/ROS/src/InterfaceROSNode.cpp:3 — one node, one System),
-so its per-machine throughput scales only with CPU cores; here one chip
-hosts the whole fleet in lockstep.
+**Measured reality (rounds 3-4, one v5e chip, B=8, VGA/120 features):
+aggregate throughput is ~1x a single stream — vmap does NOT amortize this
+workload.**  The hypothesis that batching would multiply arithmetic
+intensity at the same sequential depth failed on measurement: the step's
+dominant costs (selector-contraction sampling, per-feature iteration
+loops) scale linearly in B under vmap, so the vmapped step costs ~B times
+a single step.  FleetSystem therefore buys lockstep *convenience* (one
+program, one state pytree, batched outputs), not speed.
 
-Composes with the cross-chip data-parallel axis in ``parallel/`` (shard_map
-over a Mesh of chips — __graft_entry__.dryrun_multichip): vmap is the
-within-chip fleet axis, ``dp`` sharding the across-chip one.
+For throughput-scaling fleets use the cross-chip axis instead:
+``dp_fleet_step`` below runs one stream per device of a 1-D ``dp`` mesh
+(every sensor strategy incl. laser), and composes with the distributed
+BA/pose-graph solvers in ``parallel/`` — see
+``__graft_entry__.dryrun_multichip``.  The reference's per-machine scaling
+story is one single-robot process per CPU core
+(Interface/ROS/src/InterfaceROSNode.cpp:3 — one node, one System).
 
 All streams share one camera/config (one compiled program); state, images,
 stamps, odometry, and outputs carry a leading ``[B]`` axis.  The per-frame

@@ -406,7 +406,7 @@ class System:
             )
         self.state = init_state(
             height, width,
-            capacity=self._capacity_factor * self.cfg.tracker_max_features,
+            capacity=int(self._capacity_factor * self.cfg.tracker_max_features),
             window=self.cfg.local_map_map_size + 1,
             seed=self._seed,
             laser=laser,
