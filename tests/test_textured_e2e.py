@@ -142,3 +142,20 @@ def test_drifted_loop_closure():
     ate_after = ate_rmse(np.asarray(backend.poses()[: len(frames_of)]),
                          kf_gt)
     assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
+
+
+def test_cached_sequence_cold_equals_warm(tmp_path, monkeypatch):
+    """The cache must hand out IDENTICAL pixels on the rendering (cold) and
+    loading (warm) runs — regression guard for the round-4 bug where the
+    cold path returned the raw float render while warm runs loaded the
+    uint8-quantized npz, making a bistable starved-budget test pass cold
+    and fail on every rerun."""
+    monkeypatch.setenv("VISFS_SIM_CACHE", str(tmp_path))
+    kw = dict(n_frames=3, width=96, height=64, motion="arc", seed=21,
+              pixel_noise=1.0)
+    cold = cached_textured_sequence(**kw)
+    warm = cached_textured_sequence(**kw)
+    np.testing.assert_array_equal(cold.left, warm.left)
+    np.testing.assert_array_equal(cold.right, warm.right)
+    # 8-bit camera realism: integral pixel values
+    assert float(np.abs(cold.left - np.round(cold.left)).max()) == 0.0

@@ -1,4 +1,10 @@
-"""Per-stage timing profile of the VO pipeline (README stage table source).
+"""Per-stage HOST-SYNCED timing profile of the VO pipeline.
+
+NOTE: each stage sample includes one host<->device sync; under a remote
+dev tunnel that adds ~30 ms of transport per stage, swamping device time.
+Prefer tools/ablate_stages.py (amortized per-stage device cost) and
+tools/op_profile.py (exact per-op device times from a profiler trace) —
+those produced the README budget table.
 
 Runs the textured benchmark sequence through System(profile_stages=True) —
 four host-synced stage jits (track / BA-prepare / local bundle / finalize),
