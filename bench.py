@@ -198,4 +198,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The dev TPU's remote-compile service intermittently drops requests
+    # ("HTTP 500" / "response body closed") under load; retry transient
+    # infrastructure errors so a flaky compile doesn't read as a bench
+    # failure.  Gate failures (SystemExit) are NOT retried.
+    import traceback
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001 — infra errors are opaque
+            msg = f"{type(e).__name__}: {e}"
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({msg[:200]}); "
+                  "retrying", flush=True)
+            traceback.print_exc()
+            time.sleep(20)
