@@ -24,6 +24,10 @@ Phases (trim with env knobs):
   3. fleet — VISFS_BENCH_FLEET (default 8) vmapped lockstep streams on one
      chip (slam.fleet.FleetSystem): aggregate frames/s/chip and the
      aggregate-vs-single-stream scaling factor.
+  4. mapping-s3 — the simMapping.launch operating point proper
+     (SensorStrategy 3: stereo+laser+wheel, occupancy submap building)
+     over VISFS_BENCH_S3_FRAMES (120, 0 skips) textured frames:
+     throughput + ATE of the full mapping configuration.
 
 The bench FAILS (exit 1) when accuracy degrades past ATE 0.17 m or any
 frame is lost — perf cannot silently trade accuracy (VISFS_BENCH_NO_GATE=1
@@ -174,13 +178,67 @@ def main():
         fleet_txt = (f", fleet x{fleet_b} {agg:.0f} fps/chip aggregate = "
                      f"{agg / fps:.2f}x single-stream")
 
+    # ---- phase 4: strategy-3 mapping operating point -------------------
+    # The simMapping.launch configuration (stereo+laser+wheel, submap
+    # building) — the BASELINE.json multi-robot-mapping north star.
+    # Informational: failure here must not sink the headline bench.
+    s3_txt = ""
+    s3_frames = int(os.environ.get("VISFS_BENCH_S3_FRAMES", "120"))
+    if s3_frames > 2:
+        try:
+            seq3 = cached_textured_sequence(
+                n_frames=s3_frames, width=width, height=height,
+                motion="square", seed=1, speed=2.0, with_laser=True,
+                n_beams=180,
+            )
+            p3 = _params(width)
+            p3["System/SensorStrategy"] = 3
+            s3 = System(p3, scan_capacity=256)
+            s3.init(float(cam.fx), float(cam.fy), float(cam.cx),
+                    float(cam.cy), float(cam.baseline), width=cam.width,
+                    height=cam.height)
+            l3 = [jax.device_put(jnp.asarray(f, jnp.float32))
+                  for f in seq3.left]
+            r3 = [jax.device_put(jnp.asarray(f, jnp.float32))
+                  for f in seq3.right]
+            jax.block_until_ready((l3, r3))
+            odom_i = 0
+            wheel = seq3.wheel_odom
+
+            def feed(i):
+                nonlocal odom_i
+                while (odom_i < len(wheel)
+                       and wheel[odom_i][0] <= seq3.stamps[i] + 1e-9):
+                    row = wheel[odom_i]
+                    s3.input_wheel_odometry(float(row[0]), row[1:7])
+                    odom_i += 1
+                s3.input_primary_sensor_data(
+                    float(seq3.stamps[i]), l3[i], r3[i],
+                    scan=seq3.laser_scans[i])
+
+            feed(0)
+            feed(1)
+            s3.drain_outputs()
+            t0 = time.perf_counter()
+            for i in range(2, s3_frames):
+                feed(i)
+            outs3 = s3.drain_outputs()
+            dt3 = time.perf_counter() - t0
+            fps3 = (s3_frames - 2) / dt3
+            est3 = np.stack([np.asarray(o.pose) for o in outs3])
+            ate3 = ate_rmse(est3, seq3.poses[2:2 + len(est3)])
+            s3_txt = (f", mapping-s3 {fps3:.1f} fps "
+                      f"(ATE {ate3:.3f} m, {s3_frames}f w/ laser+wheel)")
+        except Exception as e:  # noqa: BLE001 — informational phase
+            s3_txt = f", mapping-s3 unavailable ({type(e).__name__})"
+
     baseline_fps = 1.0 / 0.06  # reference per-frame solver budget envelope
     result = {
         "metric": "stereo_vo_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": (f"fps@{width}x{height} textured {n_frames}f "
                  f"(ATE {ate:.4f} m, lost {lost}/{len(outs)}"
-                 f"{lat_txt}{fleet_txt})"),
+                 f"{lat_txt}{fleet_txt}{s3_txt})"),
         "vs_baseline": round(fps / baseline_fps, 3),
     }
     print(json.dumps(result))
