@@ -205,16 +205,21 @@ def main():
             odom_i = 0
             wheel = seq3.wheel_odom
 
+            scans3 = [np.asarray(sc, np.float32)
+                      for sc in seq3.laser_scans]
+
             def feed(i):
                 nonlocal odom_i
-                while (odom_i < len(wheel)
-                       and wheel[odom_i][0] <= seq3.stamps[i] + 1e-9):
-                    row = wheel[odom_i]
-                    s3.input_wheel_odometry(float(row[0]), row[1:7])
-                    odom_i += 1
+                j = odom_i
+                while (j < len(wheel)
+                       and wheel[j][0] <= seq3.stamps[i] + 1e-9):
+                    j += 1
+                if j > odom_i:  # one dispatch for the frame's ~10 samples
+                    rows = wheel[odom_i:j]
+                    s3.input_wheel_odometry_batch(rows[:, 0], rows[:, 1:7])
+                    odom_i = j
                 s3.input_primary_sensor_data(
-                    float(seq3.stamps[i]), l3[i], r3[i],
-                    scan=seq3.laser_scans[i])
+                    float(seq3.stamps[i]), l3[i], r3[i], scan=scans3[i])
 
             feed(0)
             feed(1)

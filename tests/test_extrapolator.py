@@ -128,3 +128,33 @@ class TestExtrapolatePose:
         assert bool(wheel_ok)
         assert float(wheel_pose[0, 3]) == pytest.approx(0.11, abs=1e-5)
         assert float(guess[0, 3]) == pytest.approx(0.01, abs=1e-5)
+
+
+def test_batched_odometry_push_equals_sequential():
+    """System.input_wheel_odometry_batch (one dispatch per frame) must
+    leave the ring buffer bit-identical to per-sample pushes."""
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from visfs_tpu.io.sim import generate_sequence
+    from visfs_tpu.slam.system import System
+
+    seq = generate_sequence(n_frames=3, n_points=100, width=96, height=64,
+                            seed=4)
+    cam = seq.camera
+
+    def mk():
+        s = System({"Tracker/MaxFeatures": 40, "System/SensorStrategy": 2})
+        s.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+               float(cam.baseline), width=cam.width, height=cam.height)
+        return s
+
+    rows = np.asarray(seq.wheel_odom[:23])  # padded to 32 internally
+    a = mk()
+    for r in rows:
+        a.input_wheel_odometry(float(r[0]), r[1:7])
+    b = mk()
+    b.input_wheel_odometry_batch(rows[:, 0], rows[:, 1:7])
+    for la, lb in zip(jtu.tree_leaves(a.state.odom),
+                      jtu.tree_leaves(b.state.odom)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

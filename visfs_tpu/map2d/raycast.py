@@ -94,39 +94,35 @@ def ray_cells(limits, origins, ends, samples: int):
     return idx, valid
 
 
-def _apply_once(cells, flat_idx, valid, table, not_before=None):
-    """Apply a lookup table at flat cell indices, once per cell.
+def _apply_sweep(cells, flat_idx, valid, is_hit, hit_table, miss_table):
+    """Apply one full insertion sweep: every candidate cell updated at most
+    once, hits taking precedence over misses — the reference's
+    update-marker discipline (ProbabilityGrid.cpp:142-153).
 
-    cells: [HW] uint16; flat_idx: [N] int32 (candidates); valid: [N];
-    table: [32768] uint16 update table (marker-tagged outputs);
-    not_before: optional [HW] bool plane of cells already updated this sweep
-    (those are skipped — hits before misses).
-    Returns (new_cells, updated_plane) where updated_plane marks cells
-    touched by this pass OR an earlier pass.
+    Formulated as ONE scatter-max of an update-class plane (2 = hit,
+    1 = miss, 0 = untouched) followed by a DENSE table apply over the whole
+    grid.  Per-candidate scatter/gather is the TPU's weak spot (~7 ns per
+    element, serialized): the round-1 formulation issued ~9 such ops per
+    sweep over the 133k-candidate planes (~25 ms/frame in strategy 3); a
+    sorted-ownership variant still needed ~10 candidate-sized gathers and
+    was no better.  Here the only candidate-sized op is the single
+    class-plane scatter-max; once-per-cell semantics are inherent to the
+    dense apply, and hit-over-miss precedence is the max over classes.
+
+    cells: [HW] uint16; flat_idx/valid/is_hit: [N] candidates;
+    *_table: [32768] uint16 marker-tagged update tables.
+    Returns (new_cells, updated_plane [HW] bool).
     """
     HW = cells.shape[0]
-    n = flat_idx.shape[0]
-
-    if not_before is not None:
-        fresh = valid & ~jnp.where(valid, not_before[jnp.clip(flat_idx, 0, HW - 1)], True)
-    else:
-        fresh = valid
-
-    safe_idx = jnp.where(fresh, flat_idx, HW)
-    # Ownership: lowest candidate index wins each cell.
-    owner = jnp.full((HW + 1,), n, jnp.int32)
-    owner = owner.at[safe_idx].min(jnp.arange(n, dtype=jnp.int32),
-                                   mode="drop")
-    winner = fresh & (owner[jnp.clip(safe_idx, 0, HW)] == jnp.arange(n))
-
-    old = cells[jnp.clip(flat_idx, 0, HW - 1)]
-    new_val = table[old.astype(jnp.int32)]
-    win_idx = jnp.where(winner, flat_idx, HW)
-    new_cells = cells.at[win_idx].set(new_val, mode="drop")
-
-    updated = jnp.zeros((HW,), bool) if not_before is None else not_before
-    updated = updated.at[win_idx].set(True, mode="drop")
-    return new_cells, updated
+    cls = jnp.where(is_hit, jnp.int32(2), jnp.int32(1))
+    plane = jnp.zeros((HW,), jnp.int32)
+    plane = plane.at[jnp.where(valid, flat_idx, HW)].max(cls, mode="drop")
+    old = cells.astype(jnp.int32)
+    new_cells = jnp.where(
+        plane == 2, hit_table[old],
+        jnp.where(plane == 1, miss_table[old], cells),
+    )
+    return new_cells, plane > 0
 
 
 @partial(jax.jit, static_argnames=("samples", "insert_free_space"))
@@ -152,38 +148,47 @@ def insert_range_data(
         # [num_y, num_x] row-major with row = idx_b.
         return idx[..., 1] * limits.num_x + idx[..., 0]
 
-    # 1. hits at endpoint cells
+    # One combined candidate sweep, stages concatenated in precedence
+    # order (hits, then free-space ray cells, then missing-echo rays):
+    # the reference's marker discipline — each cell once, hits first —
+    # becomes first-occurrence ownership in (stage, candidate) order.
     hit_idx = cell_index(limits, hits)
     hit_ok = hits_mask & contains(limits, hit_idx)
-    cells_flat, updated = _apply_once(
-        cells_flat, flatten(hit_idx), hit_ok, hit_table
-    )
+    cand_idx = [flatten(hit_idx)]
+    cand_ok = [hit_ok]
+    cand_hit = [jnp.ones(hit_ok.shape, bool)]
 
     if insert_free_space:
-        # 2. free space along rays to hits
+        # free space along rays to hits (endpoint cells lose to the hit
+        # stage by ownership order)
         origins = jnp.broadcast_to(origin[None, :], hits.shape)
         ridx, rvalid = ray_cells(limits, origins, hits, samples)
-        rvalid = rvalid & hits_mask[:, None]
-        # exclude the endpoint cell itself (it got the hit update; the
-        # reference relies on the marker for this)
-        cells_flat, updated = _apply_once(
-            cells_flat, flatten(ridx).reshape(-1), rvalid.reshape(-1),
-            miss_table, not_before=updated,
-        )
+        rvalid = (rvalid & hits_mask[:, None]).reshape(-1)
+        cand_idx.append(flatten(ridx).reshape(-1))
+        cand_ok.append(rvalid)
+        cand_hit.append(jnp.zeros(rvalid.shape, bool))
 
-        # 3. missing-echo rays
+        # missing-echo rays
         morigins = jnp.broadcast_to(origin[None, :], misses.shape)
         midx, mvalid = ray_cells(limits, morigins, misses, samples)
-        mvalid = mvalid & misses_mask[:, None]
-        cells_flat, updated = _apply_once(
-            cells_flat, flatten(midx).reshape(-1), mvalid.reshape(-1),
-            miss_table, not_before=updated,
-        )
+        mvalid = (mvalid & misses_mask[:, None]).reshape(-1)
+        cand_idx.append(flatten(midx).reshape(-1))
+        cand_ok.append(mvalid)
+        cand_hit.append(jnp.zeros(mvalid.shape, bool))
+
+    cells_flat, updated = _apply_sweep(
+        cells_flat,
+        jnp.concatenate(cand_idx),
+        jnp.concatenate(cand_ok),
+        jnp.concatenate(cand_hit),
+        hit_table, miss_table,
+    )
 
     new_grid = grid._replace(cells=cells_flat.reshape(grid.cells.shape))
     new_grid = finish_update(new_grid)
 
-    # extend known-cells box over everything updated this sweep
+    # extend known-cells box over everything updated this sweep (dense
+    # row/column reductions over the update plane)
     upd2d = updated.reshape(grid.cells.shape)
     rows = jnp.any(upd2d, axis=1)
     cols = jnp.any(upd2d, axis=0)

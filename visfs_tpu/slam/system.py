@@ -330,6 +330,27 @@ def _push_odometry(state: VOState, stamp, pose6, vel6) -> VOState:
     )
 
 
+@jax.jit
+def _push_odometry_batch(state: VOState, stamps, pose6, vel6,
+                         valid) -> VOState:
+    """Push K odometry samples in ONE dispatch (scan over the ring buffer).
+
+    At the reference's 100 Hz odometry rate (Parameters.h:141) a 10 Hz
+    camera sees ~10 samples per frame; dispatching one tiny jit per sample
+    costs ~0.5-1 ms each on the host and dominated the strategy-3 wall
+    time once the device side got fast.
+    """
+    def body(odom, row):
+        st, p6, v6, ok = row
+        new = extr.add_odometry(odom, st, p6, v6)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new, odom
+        ), None
+
+    odom, _ = jax.lax.scan(body, state.odom, (stamps, pose6, vel6, valid))
+    return state._replace(odom=odom)
+
+
 class System:
     """Host-side driver owning device state (reference System.h API)."""
 
@@ -500,6 +521,31 @@ class System:
         )
         self.state = _push_odometry(
             self.state, jnp.float32(stamp), pose6, vel6
+        )
+
+    def input_wheel_odometry_batch(self, stamps, pose6, velocity6=None):
+        """Push K samples ([K], [K,6], optional [K,6]) in one dispatch —
+        equivalent to K input_wheel_odometry calls in order.  Batches are
+        padded to a multiple of 16 slots (masked) so the jit signature
+        stays stable across varying per-frame sample counts."""
+        assert self.state is not None, "call init() first"
+        stamps = np.asarray(stamps, np.float32)
+        K = len(stamps)
+        if K == 0:
+            return
+        Kp = -(-K // 16) * 16
+        st = np.zeros(Kp, np.float32)
+        st[:K] = stamps
+        p6 = np.zeros((Kp, 6), np.float32)
+        p6[:K] = np.asarray(pose6, np.float32).reshape(K, 6)
+        v6 = np.zeros((Kp, 6), np.float32)
+        if velocity6 is not None:
+            v6[:K] = np.asarray(velocity6, np.float32).reshape(K, 6)
+        ok = np.zeros(Kp, bool)
+        ok[:K] = True
+        self.state = _push_odometry_batch(
+            self.state, jnp.asarray(st), jnp.asarray(p6), jnp.asarray(v6),
+            jnp.asarray(ok),
         )
 
     def _collect_pending(self):
