@@ -256,7 +256,11 @@ def main():
     if not os.environ.get("VISFS_BENCH_NO_GATE"):
         if ate > 0.17 or lost > 0:
             print(f"BENCH GATE FAILED: ATE {ate:.4f} m (ceiling 0.17), "
-                  f"lost {lost} (ceiling 0)", flush=True)
+                  f"lost {lost} (ceiling 0). Note: the textured-loop ATE "
+                  "has a documented bistability (PARITY.md 'Known issues'); "
+                  "if the triggering change is semantically neutral, rerun "
+                  "and ablate before concluding a real regression.",
+                  flush=True)
             raise SystemExit(1)
 
 

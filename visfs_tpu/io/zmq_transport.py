@@ -107,7 +107,15 @@ class ZmqTransport:
                         for k, v in body.items()}
             except Exception:
                 body = {"repr": repr(message)}
-            self._pub.send_multipart(_encode(topic, body))
+            try:
+                parts = _encode(topic, body)
+            except TypeError:
+                # A field survived the ndarray/scalar conversion but is not
+                # JSON-serializable (e.g. a jax Array or a list of numpy
+                # scalars) — wire publishing is best-effort like the body
+                # conversion; never crash the adapter's spin loop.
+                parts = _encode(topic, {"repr": repr(body)})
+            self._pub.send_multipart(parts)
 
     # -- pumping -----------------------------------------------------------
     def spin(self, timeout_ms: int = 10) -> int:

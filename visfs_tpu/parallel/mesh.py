@@ -20,10 +20,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          process_id: Optional[int] = None) -> bool:
     """jax.distributed bring-up for multi-host pods (DCN).
 
-    Returns True when distributed state is live after the call.  Two
-    failure modes are deliberately benign no-ops (returning False):
-    distributed already initialized (repeat bring-up), and argless
-    auto-detection finding no cluster (plain single-process run).  A
+    Returns True when distributed state is live after the call — including
+    the benign repeat-bring-up case (distributed already initialized).
+    The one False return is argless auto-detection finding no cluster
+    (plain single-process run), also a benign no-op.  A
     failure with EXPLICIT arguments — a typo'd coordinator address, a bad
     process id — re-raises instead of silently degrading to single-process
     (a 2-host run that quietly becomes two 1-host runs would diverge
