@@ -55,12 +55,20 @@ def _make_system(System, cam, width):
 
 
 def _params(width):
+    # The full simMapping.launch operating point (launch:53-88), minus the
+    # laser/wheel-only knobs (applied by the s3 phase via SensorStrategy=3)
+    # and System/Monitor+logging.  Force3DoF matters: the reference deploys
+    # on planar robots and flattens z/roll/pitch — without it the textured
+    # loop accumulates ~0.3 m of z drift that never cancels.
     return {
         "Tracker/MaxFeatures": 120,
         # simMapping.launch uses 40 px at VGA; scale for other sizes
         "Tracker/MinDistance": max(12, 40 * width // 640),
+        "Tracker/QualityLevel": 0.05,
         "LocalMap/MapSize": 5,
         "Optimizer/Iterations": 20,
+        "Estimator/Force3DoF": True,
+        "Estimator/ToleranceTranslation": 0.40,
     }
 
 

@@ -161,7 +161,7 @@ class FleetSystem:
     """
 
     def __init__(self, parameters=None, n_streams: int = 8,
-                 feature_capacity_factor: int = 2, seed: int = 0,
+                 feature_capacity_factor: int = 3, seed: int = 0,
                  scan_capacity: int = 512, submap_extent_cells: int = 256):
         self.cfg: VISFSConfig = (
             parameters if isinstance(parameters, VISFSConfig)

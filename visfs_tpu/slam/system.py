@@ -354,7 +354,16 @@ def _push_odometry_batch(state: VOState, stamps, pose6, vel6,
 class System:
     """Host-side driver owning device state (reference System.h API)."""
 
-    def __init__(self, parameters=None, feature_capacity_factor: int = 2,
+    # feature_capacity_factor sizes the feature table at factor*MaxFeatures
+    # slots.  Live tracks never exceed MaxFeatures; the extra slots hold
+    # marginalized features' in-window observations (BA history).  3x is
+    # sized so that corner-turn churn (most of the population replaced
+    # within a window length) cannot exhaust free slots and stall
+    # re-detection — at 2x the allocator famine produced an oscillating
+    # population and corner tracking collapses.  Since the LK passes are
+    # compacted to live features (slam/tracker.py), capacity is window
+    # history only and does not affect the per-frame LK cost.
+    def __init__(self, parameters=None, feature_capacity_factor: int = 3,
                  seed: int = 0, scan_capacity: int = 512,
                  submap_extent_cells: int = 256,
                  profile_stages: bool = False):

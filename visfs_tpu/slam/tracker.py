@@ -105,18 +105,27 @@ def tracker_step(
     right_pyr = None if rgbd else build_lk_pyramid(right, lk_params)
 
     # ------------------------------------------------------------------
-    # 1. Temporal tracking prev -> cur
+    # 1. Temporal tracking prev -> cur, COMPACTED to live features
     # ------------------------------------------------------------------
+    # At most max_features slots carry a previous-frame observation (the
+    # per-frame write budget), so the LK passes run on a compact [M] buffer
+    # instead of all Fcap table slots: the pass sizes stay constant no
+    # matter how large the table capacity is (capacity only buys window
+    # history for marginalized features, it must not cost LK time).
+    M = max_features
     prev_mask = features.valid & features.obs_mask[:, prev_col] & has_prev
-    prev_uv = features.uv[:, prev_col]
-    prev_depth = features.depth[:, prev_col]
-    p_prev_robot = backproject(cam, prev_uv, prev_depth)
+    # Stable argsort: live slots first, ascending slot order.
+    comp_idx = jnp.argsort(~prev_mask)[:M]
+    comp_live = prev_mask[comp_idx]  # [M]
+    prev_uv_c = features.uv[comp_idx, prev_col]
+    prev_depth_c = features.depth[comp_idx, prev_col]
+    p_prev_robot_c = backproject(cam, prev_uv_c, prev_depth_c)
 
     # Projected initial guess (Tracker.cpp:237-252): project prev 3D points
     # through the inverse motion guess into the current camera.
     t_ir = cam.t_ir
     guess_inv = mat_inv_se3(guess_delta)
-    p_cur_img = mat_apply(t_ir @ guess_inv, p_prev_robot)
+    p_cur_img = mat_apply(t_ir @ guess_inv, p_prev_robot_c)
     z = jnp.where(jnp.abs(p_cur_img[:, 2]) < 1e-6, 1e-6, p_cur_img[:, 2])
     guess_uv = jnp.stack(
         [
@@ -128,39 +137,46 @@ def tracker_step(
     good_guess = (p_cur_img[:, 2] > 0.05) & jnp.all(
         jnp.isfinite(guess_uv), axis=-1
     )
-    init_uv = jnp.where(good_guess[:, None], guess_uv, prev_uv)
+    init_uv_c = jnp.where(good_guess[:, None], guess_uv, prev_uv_c)
 
     if flow_back:
-        trk = lk_track_bidirectional_pyr(
-            prev_pyr, left_pyr, prev_uv, init_uv, prev_mask, lk_params,
+        trk_c = lk_track_bidirectional_pyr(
+            prev_pyr, left_pyr, prev_uv_c, init_uv_c, comp_live, lk_params,
             fb_threshold=1.5,
         )
     else:
-        trk = lk_track_pyr(prev_pyr, left_pyr, prev_uv, init_uv, prev_mask,
-                           lk_params)
+        trk_c = lk_track_pyr(prev_pyr, left_pyr, prev_uv_c, init_uv_c,
+                             comp_live, lk_params)
         if cull_fundamental:
             # Tracker/CullByFundationMatrix path (Tracker.cpp:275-277,
             # 83-96): epipolar RANSAC replaces the reverse-flow gate.
             from ..ops.fundamental import cull_with_fundamental
 
             inl, _ = cull_with_fundamental(
-                prev_uv, trk.points, trk.status & prev_mask, rng_key,
+                prev_uv_c, trk_c.points, trk_c.status & comp_live, rng_key,
                 threshold=fundamental_threshold,
             )
-            trk = trk._replace(status=trk.status & inl)
+            trk_c = trk_c._replace(status=trk_c.status & inl)
 
-    inb = (
-        (trk.points[:, 0] >= 0) & (trk.points[:, 0] < cam.width)
-        & (trk.points[:, 1] >= 0) & (trk.points[:, 1] < cam.height)
+    inb_c = (
+        (trk_c.points[:, 0] >= 0) & (trk_c.points[:, 0] < cam.width)
+        & (trk_c.points[:, 1] >= 0) & (trk_c.points[:, 1] < cam.height)
     )
-    temporal_mask = trk.status & inb & prev_mask
-    temporal_uv = trk.points
-    n_tracked = jnp.sum(temporal_mask)
+    tm_c = trk_c.status & inb_c & comp_live
+    n_tracked = jnp.sum(tm_c)
 
     # Lost tracking (Tracker.cpp:303-307): drop everything, re-bootstrap now.
     track_lost = has_prev & (n_tracked < min_inliers)
-    temporal_mask = temporal_mask & ~track_lost
-    n_tracked = jnp.sum(temporal_mask)
+    tm_c = tm_c & ~track_lost
+    n_tracked = jnp.sum(tm_c)
+
+    # Scatter the compact temporal results back to table-slot layout for
+    # the estimator (PnP correspondences) and the feature-table write.
+    temporal_uv = jnp.zeros((Fcap, 2), dtype=trk_c.points.dtype
+                            ).at[comp_idx].set(trk_c.points)
+    temporal_mask = jnp.zeros((Fcap,), bool).at[comp_idx].set(tm_c)
+    p_prev_robot = jnp.zeros((Fcap, 3), dtype=p_prev_robot_c.dtype
+                             ).at[comp_idx].set(p_prev_robot_c)
 
     # ------------------------------------------------------------------
     # 2. Re-detection top-up (budget = MaxFeatures - survivors)
@@ -181,8 +197,8 @@ def tracker_step(
     #    unification the reference declares but leaves TODO
     #    (Tracker.cpp:228).
     # ------------------------------------------------------------------
-    all_uv = jnp.concatenate([temporal_uv, new_uv], axis=0)
-    all_mask = jnp.concatenate([temporal_mask, new_cand], axis=0)
+    all_uv = jnp.concatenate([trk_c.points, new_uv], axis=0)  # [2M]
+    all_mask = jnp.concatenate([tm_c, new_cand], axis=0)
     if rgbd:
         # `right` is the depth image (meters).  Sample at feature positions;
         # the virtual right observation uR = uL - bf/z feeds the same BA
@@ -232,12 +248,17 @@ def tracker_step(
         )
         st_points = st.points
 
-    trk_ok = cur_ok[:Fcap]
-    new_ok = cur_ok[Fcap:]
-    new_uvr = st_points[Fcap:]
-    new_depth = p_img_z[Fcap:]
-    trk_uvr = st_points[:Fcap]
-    trk_depth = p_img_z[:Fcap]
+    # Scatter the compact stereo results for surviving tracks back to
+    # table-slot layout; the new-candidate half stays compact ([M]) for
+    # the allocation pass below.
+    trk_ok = jnp.zeros((Fcap,), bool).at[comp_idx].set(cur_ok[:M])
+    trk_uvr = jnp.zeros((Fcap, 2), dtype=st_points.dtype
+                        ).at[comp_idx].set(st_points[:M])
+    trk_depth = jnp.zeros((Fcap,), dtype=p_img_z.dtype
+                          ).at[comp_idx].set(p_img_z[:M])
+    new_ok = cur_ok[M:]
+    new_uvr = st_points[M:]
+    new_depth = p_img_z[M:]
 
     # ------------------------------------------------------------------
     # 4. Write surviving tracks' current observations into column W-1
@@ -282,7 +303,7 @@ def tracker_step(
     # world positions: pw = Twr_cur * p_robot — the caller supplies the pose
     # later; store robot-frame point for now, converted by the estimator
     # when the signature pose is known (LocalMap.cpp:76: Twr * p).
-    pw = f.pw.at[target_slot].set(p3d_robot[Fcap:], mode="drop")
+    pw = f.pw.at[target_slot].set(p3d_robot[M:], mode="drop")
     stable = f.stable.at[target_slot].set(jnp.zeros(max_features, bool),
                                           mode="drop")
     track_cnt = track_cnt.at[target_slot].set(
