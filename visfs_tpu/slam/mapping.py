@@ -30,6 +30,7 @@ class KeyframeGraph(NamedTuple):
     pose_q: jnp.ndarray  # [N, 4] Twr rotations
     pose_t: jnp.ndarray  # [N, 3]
     stamp: jnp.ndarray  # [N]
+    robot: jnp.ndarray  # [N] int32 — owning robot (multi-robot sessions)
     valid: jnp.ndarray  # [N]
     n_nodes: jnp.ndarray  # int32
     edge_i: jnp.ndarray  # [E]
@@ -47,6 +48,7 @@ def init_graph(max_nodes: int = 1024, max_edges: int = 4096) -> KeyframeGraph:
     return KeyframeGraph(
         pose_q=qid, pose_t=jnp.zeros((max_nodes, 3), jnp.float32),
         stamp=jnp.zeros((max_nodes,), jnp.float32),
+        robot=jnp.zeros((max_nodes,), jnp.int32),
         valid=jnp.zeros((max_nodes,), bool),
         n_nodes=jnp.zeros((), jnp.int32),
         edge_i=jnp.zeros((max_edges,), jnp.int32),
@@ -60,32 +62,41 @@ def init_graph(max_nodes: int = 1024, max_edges: int = 4096) -> KeyframeGraph:
 
 @jax.jit
 def add_keyframe(g: KeyframeGraph, pose: jnp.ndarray, stamp,
-                 odom_info: float = 1e4) -> KeyframeGraph:
-    """Append a keyframe (Twr 4x4); auto-links it to the previous one with
-    an odometry edge measured from the current estimates.
+                 odom_info: float = 1e4, robot=0,
+                 prev_node=None) -> KeyframeGraph:
+    """Append a keyframe (Twr 4x4); auto-links it with an odometry edge
+    measured from the current estimates.
+
+    prev_node selects the odometry-chain predecessor: by default the last
+    inserted node (single-robot behavior); a multi-robot session passes
+    each robot's own previous keyframe so odometry chains never cross
+    robots (pass -1 for a robot's first keyframe: no odometry edge, the
+    node is tied to the rest of the graph only by loop closures).
 
     At capacity the insert is a no-op and the counters stay clamped (the
     scatter would be dropped anyway; clamping keeps n_nodes/n_edges honest
     for host-side bookkeeping)."""
     N = g.pose_q.shape[0]
     n = g.n_nodes
+    prev = n - 1 if prev_node is None else jnp.asarray(prev_node, jnp.int32)
     q = mat_to_quat(pose[:3, :3])
     t = pose[:3, 3]
     g = g._replace(
         pose_q=g.pose_q.at[n].set(q, mode="drop"),
         pose_t=g.pose_t.at[n].set(t, mode="drop"),
         stamp=g.stamp.at[n].set(stamp, mode="drop"),
+        robot=g.robot.at[n].set(jnp.asarray(robot, jnp.int32), mode="drop"),
         valid=g.valid.at[n].set(n < N, mode="drop"),
         n_nodes=jnp.minimum(n + 1, N),
     )
 
     def with_edge(g):
-        prev = se3_matrix(g.pose_q[n - 1], g.pose_t[n - 1])
-        rel = mat_inv_se3(prev) @ pose
-        return _append_edge(g, n - 1, n, mat_to_quat(rel[:3, :3]),
+        prev_pose = se3_matrix(g.pose_q[prev], g.pose_t[prev])
+        rel = mat_inv_se3(prev_pose) @ pose
+        return _append_edge(g, prev, n, mat_to_quat(rel[:3, :3]),
                             rel[:3, 3], odom_info)
 
-    return jax.lax.cond((n > 0) & (n < N), with_edge, lambda g: g, g)
+    return jax.lax.cond((prev >= 0) & (n < N), with_edge, lambda g: g, g)
 
 
 def _append_edge(g: KeyframeGraph, i, j, rel_q, rel_t, info):
@@ -113,7 +124,10 @@ def add_loop_closure(g: KeyframeGraph, i, j, rel: jnp.ndarray,
 def propose_loop_candidates(g: KeyframeGraph, radius: float = 2.0,
                             min_gap: int = 10, max_candidates: int = 16):
     """Proximity-based loop candidates: node pairs whose estimated positions
-    are within `radius` but at least `min_gap` indices apart.
+    are within `radius` and either belong to DIFFERENT robots (any pair —
+    cross-robot closures are what fuses a fleet's maps) or are at least
+    `min_gap` indices apart (same-robot revisits; the gap excludes
+    trivially-adjacent frames).
 
     Returns ([K, 2] indices, [K] validity) — candidates only; geometric
     verification (scan/feature matching) produces the actual constraint.
@@ -123,9 +137,13 @@ def propose_loop_candidates(g: KeyframeGraph, radius: float = 2.0,
         (g.pose_t[:, None, :] - g.pose_t[None, :, :]) ** 2, axis=-1
     )
     ii = jnp.arange(N)
+    cross = g.robot[:, None] != g.robot[None, :]
+    gap_ok = (ii[None, :] - ii[:, None] >= min_gap) | (
+        cross & (ii[None, :] > ii[:, None])
+    )
     pairmask = (
         g.valid[:, None] & g.valid[None, :]
-        & (ii[None, :] - ii[:, None] >= min_gap)
+        & gap_ok
         & (d2 <= radius * radius)
     )
     flat = pairmask.reshape(-1)
@@ -182,27 +200,36 @@ class MappingBackend:
         self.graph = init_graph(max_nodes, max_edges)
         self.odom_info = odom_info
         self.snapshots: dict[int, KeyframeSnapshot] = {}
+        # Per-robot tail of the odometry chain (multi-robot sessions): the
+        # next keyframe of robot r links to _last_node[r], never to another
+        # robot's chain.
+        self._last_node: dict[int, int] = {}
         # Pairs already decided by close_loops (accepted or rejected):
         # re-verifying them every call would duplicate edges (multiplying
         # their information in the optimizer) and burn verification time.
         self._decided_pairs: set[tuple[int, int]] = set()
 
-    def maybe_add(self, frame_output, snapshot=None) -> bool:
+    def maybe_add(self, frame_output, snapshot=None, robot: int = 0) -> bool:
         """Add a keyframe from a FrameOutput when it is one (and tracked)."""
         if bool(frame_output.keyframe) and not bool(frame_output.lost):
             self.add_keyframe(frame_output.pose, frame_output.stamp,
-                              snapshot=snapshot)
+                              snapshot=snapshot, robot=robot)
             return True
         return False
 
-    def add_keyframe(self, pose, stamp, snapshot=None):
+    def add_keyframe(self, pose, stamp, snapshot=None, robot: int = 0):
         node_id = int(self.graph.n_nodes)
         if snapshot is not None and node_id < self.graph.pose_q.shape[0]:
             # Bounded by the graph's node capacity — no phantom ids, no
             # unbounded device-memory growth on long runs.
             self.snapshots[node_id] = snapshot
+        prev = self._last_node.get(int(robot), -1)
         self.graph = add_keyframe(self.graph, jnp.asarray(pose),
-                                  jnp.float32(stamp), self.odom_info)
+                                  jnp.float32(stamp), self.odom_info,
+                                  robot=jnp.int32(robot),
+                                  prev_node=jnp.int32(prev))
+        if node_id < self.graph.pose_q.shape[0]:
+            self._last_node[int(robot)] = node_id
 
     def add_loop_closure(self, i: int, j: int, rel, info: float = 1e4):
         self.graph = add_loop_closure(
