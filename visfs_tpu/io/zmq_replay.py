@@ -41,6 +41,19 @@ def main(argv=None) -> int:
     ap.add_argument("--preroll-s", type=float, default=0.5,
                     help="camera-info broadcast time before streaming")
     ap.add_argument("--seed", type=int, default=0)
+    # Hostile-stream knobs (transport stress tests):
+    ap.add_argument("--stall-at", type=int, default=-1,
+                    help="frame index before which the stream stalls")
+    ap.add_argument("--stall-s", type=float, default=0.0,
+                    help="bursty stall duration in seconds")
+    ap.add_argument("--blackout-from", type=int, default=-1,
+                    help="first frame of a total loss-of-stream window "
+                         "(both sides dropped; stamps keep advancing)")
+    ap.add_argument("--blackout-to", type=int, default=-1,
+                    help="first frame after the blackout window")
+    ap.add_argument("--info-delay-s", type=float, default=0.0,
+                    help="delay before camera-info/tf broadcasting starts "
+                         "(late-camera-info bring-up)")
     args = ap.parse_args(argv)
 
     import zmq
@@ -66,6 +79,10 @@ def main(argv=None) -> int:
         pub.send_multipart(_encode("camera_info/right", info_r))
         pub.send_multipart(_encode("tf", {"frames": frames_tbl}))
 
+    if args.info_delay_s > 0:
+        # Late camera-info: stay silent first — subscribers' bring-up wait
+        # loops must survive an initially info-less wire.
+        time.sleep(args.info_delay_s)
     t_end = time.monotonic() + args.preroll_s
     while time.monotonic() < t_end:
         latched()
@@ -75,9 +92,13 @@ def main(argv=None) -> int:
     sent = {"left": 0, "right": 0}
     dropped = {"left": 0, "right": 0}
     swapped = 0
+    blacked_out = 0
     deferred = []  # messages delayed past the next frame slot
     t0 = time.monotonic()
     for i in range(len(stamps)):
+        if i == args.stall_at and args.stall_s > 0:
+            time.sleep(args.stall_s)  # bursty multi-second stall
+            t0 += args.stall_s
         # pace in real time
         lag = t0 + i * period - time.monotonic()
         if lag > 0:
@@ -86,6 +107,9 @@ def main(argv=None) -> int:
         for m in deferred:
             pub.send_multipart(m)
         deferred = []
+        if args.blackout_from <= i < args.blackout_to:
+            blacked_out += 1
+            continue  # total loss of stream; stamps keep advancing
         stamp = float(stamps[i])
         msgs = []
         for side, img in (("left", left[i]), ("right", right[i])):
@@ -111,6 +135,7 @@ def main(argv=None) -> int:
     pub.send_multipart(_encode("eos", {}))
     time.sleep(0.2)
     print(json.dumps({"sent": sent, "dropped": dropped, "swapped": swapped,
+                      "blacked_out": blacked_out,
                       "frames": int(len(stamps))}))
     pub.close(0)
     return 0

@@ -34,8 +34,8 @@ def ray_cells(limits, origins, ends, samples: int):
     [R, S] validity) where S = samples is the static step budget (rays
     crossing more than S cells are truncated; pick S >= num_a + num_b for
     full in-grid coverage).  This is the supercover equivalent of the
-    reference's subpixel Bresenham (RayToPixelMask.cpp:145-251) as a
-    fixed-length lax.scan, vmapped over rays.
+    reference's subpixel Bresenham (RayToPixelMask.cpp:145-251), in
+    closed form (see traverse_q).
     """
     # Continuous cell coordinates: q = (max - p)/res, cell = floor(q)
     # (matches lround(q - 0.5) of MapLimits::getCellIndex).
@@ -53,45 +53,74 @@ def ray_cells(limits, origins, ends, samples: int):
         ],
         axis=-1,
     )
-
-    def one_ray(a, b):
-        d = b - a
-        cell0 = jnp.floor(a).astype(jnp.int32)
-        step = jnp.where(d > 0, 1, -1).astype(jnp.int32)
-        abs_d = jnp.abs(d)
-        inv_d = jnp.where(abs_d > 1e-12, 1.0 / jnp.maximum(abs_d, 1e-12),
-                          jnp.inf)
-        # parametric distance to the first boundary along each axis
-        frac = a - jnp.floor(a)
-        dist0 = jnp.where(d > 0, 1.0 - frac, frac)
-        t_max0 = jnp.where(abs_d > 1e-12, dist0 * inv_d, jnp.inf)
-        t_delta = inv_d
-
-        def body(carry, _):
-            cell, t_max, done = carry
-            emit = cell
-            emit_ok = ~done
-            pick0 = t_max[0] <= t_max[1]
-            t_hit = jnp.where(pick0, t_max[0], t_max[1])
-            new_done = done | (t_hit >= 1.0)
-            new_cell = jnp.where(
-                pick0, cell.at[0].add(step[0]), cell.at[1].add(step[1])
-            )
-            new_tmax = jnp.where(
-                pick0, t_max.at[0].add(t_delta[0]), t_max.at[1].add(t_delta[1])
-            )
-            cell = jnp.where(new_done, cell, new_cell)
-            t_max = jnp.where(new_done, t_max, new_tmax)
-            return (cell, t_max, new_done), (emit, emit_ok)
-
-        (_, _, _), (cells, oks) = jax.lax.scan(
-            body, (cell0, t_max0, jnp.zeros((), bool)), None, length=samples
-        )
-        return cells, oks
-
-    idx, emitted = jax.vmap(one_ray)(q0, q1)
+    idx, emitted = traverse_q(q0, q1, samples)
     valid = emitted & contains(limits, idx)
     return idx, valid
+
+
+def traverse_q(q0, q1, samples: int):
+    """Supercover traversal in continuous cell coordinates.
+
+    q0, q1: [R, 2] start/end in cell units (cell = floor(q)).  Returns
+    ([R, S, 2] cell indices, [R, S] emitted) — emitted marks slots on the
+    segment; callers add their own grid-bounds check.
+    """
+    # ------------------------------------------------------------------
+    # Closed-form traversal.  The Amanatides walk visits, after i grid-
+    # line crossings, the cell cell0 + (step0*k0, step1*(i-k0)) where k0
+    # is the number of axis-0 crossings among the i earliest of the two
+    # arithmetic progressions  t0(k) = t0ax0 + k*dt0  and
+    # t1(m) = t0ax1 + m*dt1  (tie -> axis 0 first, matching the
+    # reference's <= pick).  Merging two APs has a floor closed form:
+    #     t0(k) <= t1(i-1-k)  <=>  k <= (t0ax1 - t0ax0 + (i-1)*dt1)/
+    #                                   (dt0 + dt1)
+    # so k0(i) = clamp(floor(.)+1, 0, i).  This removes the 500-step
+    # sequential lax.scan the walk used to be (4 such scans per submap
+    # insertion dominated the strategy-3 frame time); everything is now
+    # one [R, S] elementwise computation.
+    # ------------------------------------------------------------------
+    F = jnp.float32
+    a = q0
+    d = q1 - q0
+    cell0 = jnp.floor(a).astype(jnp.int32)  # [R, 2]
+    step = jnp.where(d > 0, 1, -1).astype(jnp.int32)
+    abs_d = jnp.abs(d)
+    alive = abs_d > 1e-12  # [R, 2]
+    inv_d = jnp.where(alive, 1.0 / jnp.maximum(abs_d, 1e-12), jnp.inf)
+    frac = a - jnp.floor(a)
+    dist0 = jnp.where(d > 0, 1.0 - frac, frac)
+    t0ax = jnp.where(alive, dist0 * inv_d, jnp.inf)  # [R, 2]
+    dt = inv_d
+
+    s_idx = jnp.arange(samples, dtype=jnp.int32)[None, :]  # [1, S]
+    s_f = s_idx.astype(F)
+    num = (t0ax[:, 1:2] - t0ax[:, 0:1]) + (s_f - 1.0) * dt[:, 1:2]
+    den = dt[:, 0:1] + dt[:, 1:2]
+    K = num / den  # [R, S]; inf/NaN where an axis is degenerate
+    K = jnp.clip(jnp.where(jnp.isfinite(K), K, -1.0), -1.0,
+                 float(samples))
+    k0 = jnp.clip(jnp.floor(K).astype(jnp.int32) + 1, 0, s_idx)
+    inf0 = ~alive[:, 0:1]
+    inf1 = ~alive[:, 1:2]
+    k0 = jnp.where(inf0, 0, jnp.where(inf1, s_idx, k0))  # [R, S]
+    k1 = s_idx - k0
+
+    idx = cell0[:, None, :] + jnp.stack(
+        [step[:, 0:1] * k0, step[:, 1:2] * k1], axis=-1
+    )  # [R, S, 2]
+
+    # Slot i>0 is emitted iff the i-th crossing happened before the ray
+    # end (t < 1): the i-th crossing time is the max of the last-taken
+    # crossing on each axis.
+    k0f = k0.astype(F)
+    k1f = k1.astype(F)
+    last0 = jnp.where(k0 >= 1, t0ax[:, 0:1] + (k0f - 1.0) * dt[:, 0:1],
+                      -jnp.inf)
+    last1 = jnp.where(k1 >= 1, t0ax[:, 1:2] + (k1f - 1.0) * dt[:, 1:2],
+                      -jnp.inf)
+    t_i = jnp.maximum(last0, last1)
+    emitted = (s_idx == 0) | (t_i < 1.0)
+    return idx, emitted
 
 
 def _apply_sweep(cells, flat_idx, valid, is_hit, hit_table, miss_table):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from . import probability_values as pv
 from .grid2d import Grid2D, MapLimits, make_limits
-from .raycast import insert_range_data
+from .raycast import traverse_q
 
 
 class ActiveSubmaps2D(NamedTuple):
@@ -128,29 +128,114 @@ def insert_range_data_active(
 
     submaps = jax.lax.cond(need_add, add_submap, lambda s: s, submaps)
 
-    def insert_slot(s: ActiveSubmaps2D, i: int) -> ActiveSubmaps2D:
-        grid = grid_slot(s, i)
-        new_grid = insert_range_data(
-            grid, origin, hits, hits_mask, misses, misses_mask,
-            hit_table, miss_table, samples=samples,
-            insert_free_space=insert_free_space,
-        )
-        do = s.slot_valid[i] & ~s.finished[i]
-        return s._replace(
-            cells=s.cells.at[i].set(
-                jnp.where(do, new_grid.cells, grid.cells)
-            ),
-            known_min=s.known_min.at[i].set(
-                jnp.where(do, new_grid.known_min, grid.known_min)
-            ),
-            known_max=s.known_max.at[i].set(
-                jnp.where(do, new_grid.known_max, grid.known_max)
-            ),
-            num_range_data=s.num_range_data.at[i].add(jnp.where(do, 1, 0)),
+    # ------------------------------------------------------------------
+    # Both slots inserted in ONE batched sweep.  Per-candidate scatters
+    # and full-grid table gathers are latency-floored ops on TPU (cost
+    # ~flat in element count at these sizes), so running the two slots as
+    # separate insert_range_data calls paid every floor twice; batching
+    # the slot axis — one traversal, one scatter into a [2, E*E] class
+    # plane, one combined-table gather — roughly halves the strategy-3
+    # submap insertion time.  Semantics are identical to two
+    # raycast.insert_range_data calls (update-marker discipline,
+    # hit-over-miss precedence, known-box growth), which
+    # tests/test_map2d.py pins for the single-grid path and
+    # tests/test_laser_fusion.py end-to-end.
+    # ------------------------------------------------------------------
+    HW = E * E
+    do = submaps.slot_valid & ~submaps.finished  # [2]
+    max_xy = submaps.max_xy  # [2, 2] (x, y) upper corners
+
+    def q_of(points):
+        """World [N, 2] -> per-slot continuous cell coords [2, N, 2]."""
+        return jnp.stack(
+            [
+                (max_xy[:, None, 1] - points[None, :, 1]) / res,
+                (max_xy[:, None, 0] - points[None, :, 0]) / res,
+            ],
+            axis=-1,
         )
 
-    submaps = insert_slot(submaps, 0)
-    submaps = insert_slot(submaps, 1)
+    def flat_ok(idx):
+        """Cell index [..., 2] -> (flat [...], in-grid [...])."""
+        ok = ((idx[..., 0] >= 0) & (idx[..., 1] >= 0)
+              & (idx[..., 0] < E) & (idx[..., 1] < E))
+        return idx[..., 1] * E + idx[..., 0], ok
+
+    # hits: round(q - 0.5) == floor for the cell index (cell_index())
+    hq = q_of(hits)  # [2, H, 2]
+    hit_idx = jnp.round(hq - 0.5).astype(jnp.int32)
+    hflat, hok = flat_ok(hit_idx)
+    hok = hok & hits_mask[None, :]
+    cand_flat = [hflat]
+    cand_ok = [hok]
+    cand_hit = [jnp.ones(hok.shape, bool)]
+
+    if insert_free_space:
+        n_h = hits.shape[0]
+        n_m = misses.shape[0]
+        oq = q_of(origin[None, :])[:, 0]  # [2, 2]
+        endq = jnp.concatenate([q_of(hits), q_of(misses)], axis=1)
+        R = n_h + n_m
+        q0 = jnp.broadcast_to(oq[:, None, :], (2, R, 2)).reshape(2 * R, 2)
+        ridx, remit = traverse_q(q0, endq.reshape(2 * R, 2), samples)
+        ridx = ridx.reshape(2, R, samples, 2)
+        remit = remit.reshape(2, R, samples)
+        rmask = jnp.concatenate([hits_mask, misses_mask])[None, :, None]
+        rflat, rok = flat_ok(ridx)
+        rok = rok & remit & rmask
+        cand_flat.append(rflat.reshape(2, -1))
+        cand_ok.append(rok.reshape(2, -1))
+        cand_hit.append(jnp.zeros((2, R * samples), bool))
+
+    flat = jnp.concatenate(cand_flat, axis=1)  # [2, N]
+    ok = jnp.concatenate(cand_ok, axis=1) & do[:, None]
+    is_hit = jnp.concatenate(cand_hit, axis=1)
+
+    # one scatter-max of the update-class plane for BOTH slots
+    gflat = flat + jnp.arange(2, dtype=jnp.int32)[:, None] * HW
+    cls = jnp.where(is_hit, jnp.int32(2), jnp.int32(1)).reshape(-1)
+    plane = jnp.zeros((2 * HW,), jnp.int32)
+    plane = plane.at[jnp.where(ok.reshape(-1), gflat.reshape(-1),
+                               2 * HW)].max(cls, mode="drop")
+
+    # one combined-table gather: class 0 -> identity, 1 -> miss, 2 -> hit
+    ident = jnp.arange(32768, dtype=jnp.uint16)
+    ctab = jnp.concatenate([ident, miss_table, hit_table])
+    old = submaps.cells.reshape(-1).astype(jnp.int32)
+    newc = ctab[plane * 32768 + old]
+    # finish_update inline (Grid2D::finishUpdate): strip update markers
+    newc = jnp.where(newc >= pv.UPDATE_MARKER, newc - pv.UPDATE_MARKER,
+                     newc).astype(jnp.uint16)
+    new_cells = newc.reshape(2, E, E)
+
+    # known-cells box growth per slot (dense reductions over the plane)
+    upd = (plane > 0).reshape(2, E, E)
+    rows = jnp.any(upd, axis=2)  # [2, E] over idx_b
+    cols = jnp.any(upd, axis=1)
+    big = jnp.iinfo(jnp.int32).max
+    rr = jnp.arange(E)[None, :]
+    bmin = jnp.min(jnp.where(rows, rr, big), axis=1)
+    bmax = jnp.max(jnp.where(rows, rr, -1), axis=1)
+    amin = jnp.min(jnp.where(cols, rr, big), axis=1)
+    amax = jnp.max(jnp.where(cols, rr, -1), axis=1)
+    any_upd = jnp.any(upd, axis=(1, 2))  # [2]
+    kmin = jnp.where(
+        any_upd[:, None],
+        jnp.minimum(submaps.known_min, jnp.stack([amin, bmin], axis=-1)),
+        submaps.known_min,
+    ).astype(jnp.int32)
+    kmax = jnp.where(
+        any_upd[:, None],
+        jnp.maximum(submaps.known_max, jnp.stack([amax, bmax], axis=-1)),
+        submaps.known_max,
+    ).astype(jnp.int32)
+
+    submaps = submaps._replace(
+        cells=new_cells,
+        known_min=kmin,
+        known_max=kmax,
+        num_range_data=submaps.num_range_data + do.astype(jnp.int32),
+    )
 
     finish0 = submaps.slot_valid[0] & (
         submaps.num_range_data[0] >= 2 * num_range_data_limit
