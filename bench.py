@@ -29,7 +29,7 @@ Phases (trim with env knobs):
      over VISFS_BENCH_S3_FRAMES (120, 0 skips) textured frames:
      throughput + ATE of the full mapping configuration.
 
-The bench FAILS (exit 1) when accuracy degrades past ATE 0.17 m or any
+The bench FAILS (exit 1) when accuracy degrades past ATE 0.15 m or any
 frame is lost — perf cannot silently trade accuracy (VISFS_BENCH_NO_GATE=1
 disables, for ablations).
 
@@ -258,12 +258,13 @@ def main():
 
     # ---- accuracy gate ---------------------------------------------------
     # Perf work must not silently trade accuracy: fail the bench when the
-    # 300-frame textured loop degrades.  Ceilings: ATE <= 0.17 m (round-3
-    # honest level) and zero lost frames.  VISFS_BENCH_NO_GATE=1 skips (for
-    # ablation experiments only).
+    # 300-frame textured loop degrades.  Ceilings: ATE <= 0.15 m (round 5:
+    # deterministic 0.135 + margin; the residual is the corner-rotation LK
+    # floor, see README) and zero lost frames.  VISFS_BENCH_NO_GATE=1
+    # skips (for ablation experiments only).
     if not os.environ.get("VISFS_BENCH_NO_GATE"):
-        if ate > 0.17 or lost > 0:
-            print(f"BENCH GATE FAILED: ATE {ate:.4f} m (ceiling 0.17), "
+        if ate > 0.15 or lost > 0:
+            print(f"BENCH GATE FAILED: ATE {ate:.4f} m (ceiling 0.15), "
                   f"lost {lost} (ceiling 0). Note: the textured-loop ATE "
                   "has a documented bistability (PARITY.md 'Known issues'); "
                   "if the triggering change is semantically neutral, rerun "

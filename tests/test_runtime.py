@@ -86,9 +86,24 @@ class TestSystemRuntime:
 
         seq = generate_sequence(n_frames=5, n_points=300, seed=41)
         cam = seq.camera
-        sys_ = System({"Tracker/MaxFeatures": 100, "Tracker/MinDistance": 16})
-        sys_.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-                  float(cam.baseline), width=cam.width, height=cam.height)
+
+        def build():
+            s = System({"Tracker/MaxFeatures": 100,
+                        "Tracker/MinDistance": 16})
+            s.init(float(cam.fx), float(cam.fy), float(cam.cx),
+                   float(cam.cy), float(cam.baseline), width=cam.width,
+                   height=cam.height)
+            return s
+
+        # Warm the jit cache on a scratch System first: under a loaded
+        # xdist worker the first vo_step compile alone can eat the output
+        # deadline, which reads as the runtime producing nothing.
+        warm = build()
+        warm.input_primary_sensor_data(float(seq.stamps[0]), seq.left[0],
+                                       seq.right[0])
+        warm.drain_outputs()
+
+        sys_ = build()
         srt = SystemRuntime(sys_, capacity=8, slop_s=0.02)
         srt.start()
         for i in range(len(seq.stamps)):

@@ -210,7 +210,8 @@ class TestHostileStream:
             ["--hz", "40", "--drop", "0.0", "--swap", "0.0",
              "--preroll-s", "1.0", "--stall-at", "20", "--stall-s", "2.5",
              "--seed", "3"],
-            visfs_overrides={"Tracker/FlowBack": True},
+            visfs_overrides={"Tracker/FlowBack": True,
+                             "Tracker/MinDistance": 10},
         )
         try:
             assert published >= len(stamps) - 4, (published, stats)
@@ -262,7 +263,8 @@ class TestHostileStream:
             ["--hz", "40", "--drop", "0.0", "--swap", "0.0",
              "--preroll-s", "1.0", "--blackout-from", "18",
              "--blackout-to", "28", "--seed", "3"],
-            visfs_overrides={"Tracker/FlowBack": True},
+            visfs_overrides={"Tracker/FlowBack": True,
+                             "Tracker/MinDistance": 10},
         )
         try:
             assert stats["blacked_out"] == 10, stats

@@ -696,10 +696,19 @@ def marginalize(features: FeatureTable, window: WindowState, keyframe,
         [jnp.arange(0, W - 2), jnp.array([W - 1, 0])]
     )
     perm = jnp.where(full & ~keyframe, drop2, shift)
-    # If the last frame was never inserted (lost), slot W-1 is already free:
-    # sliding would drain older signatures, so make this a no-op (the
-    # reference's removeSignature only acts when the map is over-full).
-    perm = jnp.where(window.valid[W - 1], perm, jnp.arange(W))
+    # The slide happens EVERY frame, including after a lost frame whose
+    # window slot is invalid: the tracker reads the previous frame's
+    # observations from column W-2, so the lost frame's re-detections must
+    # move there like any other frame's (the reference equivalently keeps
+    # Tracker::lastSignature_ continuity regardless of LocalMap
+    # insertion).  An earlier round gated the slide on window.valid[W-1]
+    # "to avoid draining older signatures during lost streaks"; that
+    # silently parked the lost frame's features in the current column,
+    # desyncing tracking forever (every frame re-detected, matched
+    # nothing, and leaked table slots until famine).  Sliding an invalid
+    # newest slot is harmless — validity moves with it, BA ignores
+    # invalid columns — and a lost streak longer than the window drains
+    # it to the bootstrap path, which IS the desired full re-init.
 
     def g(x):
         return jnp.take(x, perm, axis=0)
