@@ -46,6 +46,19 @@ class TestMonitor:
         cols = np.nonzero(img[:, :, 0].any(axis=0))[0]
         assert cols.min() >= 1 and cols.max() <= 1 + 4 * 4
 
+    def test_live_monitor_headless(self, tmp_path):
+        """LiveMonitor (the reference's cv::imshow windows) degrades to
+        frame dumps in a headless environment and never crashes."""
+        seq = generate_sequence(n_frames=3, n_points=300, seed=31)
+        sys_ = small_system(seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+        lm = monitor.LiveMonitor(save_dir=str(tmp_path))
+        canvas = lm.show(sys_.state, seq.left[-1], seq.right[-1])
+        lm.close()
+        h, w = seq.left[0].shape
+        assert canvas.shape == (h, 2 * w, 3)
+        assert list(tmp_path.iterdir()), "no frame written"
+
     def test_render_submap_none_without_laser(self):
         seq = generate_sequence(n_frames=2, n_points=200, seed=32)
         sys_ = small_system(seq)

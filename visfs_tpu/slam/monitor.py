@@ -120,3 +120,70 @@ def render_submap(state) -> np.ndarray | None:
         grid, jnp.asarray(state.laser.cost_table)
     )
     return np.asarray(img)
+
+
+class LiveMonitor:
+    """Optional interactive display: the reference Monitor thread's
+    cv::imshow windows (Monitor.cpp:37-96), shown when OpenCV is importable
+    and a display exists; otherwise frames can be written to disk.
+
+    Pull-based like the render functions — call ``show(state, left, right)``
+    after each processed frame (e.g. from the host output loop).  This is
+    presentation only; nothing in the engine depends on it.
+    """
+
+    def __init__(self, window: str = "visfs", save_dir: str | None = None,
+                 wait_ms: int = 1):
+        self.window = window
+        self.save_dir = save_dir
+        self.wait_ms = int(wait_ms)
+        self._cv2 = None
+        self._frame_idx = 0
+        try:
+            import os
+
+            import cv2  # noqa: PLC0415 — optional
+
+            self._cv2 = cv2
+            # Qt's xcb plugin calls abort() (not catchable) when imshow
+            # runs without a display server; only enable windows when one
+            # exists.  Headless cv2 still serves imwrite below.
+            self._windows_ok = bool(os.environ.get("DISPLAY")
+                                    or os.environ.get("WAYLAND_DISPLAY"))
+        except Exception:  # noqa: BLE001
+            self._cv2 = None
+            self._windows_ok = False
+        if save_dir is not None:
+            import os
+
+            os.makedirs(save_dir, exist_ok=True)
+
+    def show(self, state, left, right) -> np.ndarray:
+        """Render + display (and/or save) one frame; returns the canvas."""
+        canvas = render_frame(state, left, right)
+        sub = render_submap(state)
+        if self._cv2 is not None and self._windows_ok:
+            cv2 = self._cv2
+            try:
+                cv2.imshow(self.window, canvas[..., ::-1])  # RGB -> BGR
+                if sub is not None:
+                    cv2.imshow(self.window + "/submap", sub)
+                cv2.waitKey(self.wait_ms)
+            except Exception:  # headless build of OpenCV
+                self._windows_ok = False
+        if self.save_dir is not None:
+            path = f"{self.save_dir}/frame_{self._frame_idx:05d}"
+            if self._cv2 is not None:
+                self._cv2.imwrite(path + ".png", canvas[..., ::-1])
+            else:
+                np.save(path + ".npy", canvas)
+        self._frame_idx += 1
+        return canvas
+
+    def close(self) -> None:
+        if self._cv2 is not None and self._windows_ok:
+            try:
+                self._cv2.destroyWindow(self.window)
+                self._cv2.destroyWindow(self.window + "/submap")
+            except Exception:  # noqa: BLE001
+                pass
