@@ -88,6 +88,51 @@ class TestCheckpoint:
             np.asarray(out_a[-1].pose), np.asarray(out_b[-1].pose), atol=1e-5
         )
 
+    def test_mapping_backend_roundtrip(self, tmp_path):
+        """save_mapping/restore_mapping: graph, snapshots, per-robot chain
+        tails, and decided loop pairs all survive a restart."""
+        import jax
+        from jax.sharding import Mesh
+
+        from visfs_tpu.io import checkpoint as ckpt
+        from visfs_tpu.slam.mapping import MappingBackend
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("edges",))
+        seq = generate_sequence(n_frames=4, n_points=300, seed=35)
+        sys_ = small_system(seq)
+        sys_.run_sequence(seq.stamps, seq.left, seq.right)
+
+        b = MappingBackend(mesh, max_nodes=16, max_edges=64)
+        for k, robot in enumerate((0, 0, 1)):
+            b.add_keyframe(np.eye(4, dtype=np.float32), float(k),
+                           snapshot=sys_.keyframe_snapshot(max_kp=16),
+                           robot=robot)
+        rel = np.eye(4, dtype=np.float32)
+        b.add_loop_closure(0, 2, rel, info=1e4)
+        b._decided_pairs.add((0, 2))
+
+        ckpt.save_mapping(tmp_path / "map.npz", b)
+        b2 = MappingBackend(mesh, max_nodes=16, max_edges=64)
+        ckpt.restore_mapping(tmp_path / "map.npz", b2)
+
+        assert int(b2.graph.n_nodes) == 3
+        np.testing.assert_array_equal(np.asarray(b2.graph.robot[:3]),
+                                      [0, 0, 1])
+        np.testing.assert_allclose(np.asarray(b2.graph.pose_t),
+                                   np.asarray(b.graph.pose_t))
+        assert set(b2.snapshots) == {0, 1, 2}
+        np.testing.assert_allclose(np.asarray(b2.snapshots[1].patch),
+                                   np.asarray(b.snapshots[1].patch))
+        assert b2._last_node == {0: 1, 1: 2}
+        assert (0, 2) in b2._decided_pairs
+        # the restored graph still optimizes
+        chi2 = b2.optimize(iterations=2, cg_iters=8)
+        assert np.isfinite(chi2)
+        # capacity mismatch is rejected
+        b3 = MappingBackend(mesh, max_nodes=8, max_edges=64)
+        with pytest.raises(ValueError):
+            ckpt.restore_mapping(tmp_path / "map.npz", b3)
+
     def test_config_mismatch_rejected(self, tmp_path):
         from visfs_tpu.io import checkpoint as ckpt
 
