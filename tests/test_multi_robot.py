@@ -172,3 +172,54 @@ class TestMultiRobotE2E:
         assert err_after.max() <= err_before.max() * 1.05 + 1e-3, (
             err_before.max(), err_after.max())
         assert err_after.mean() <= err_before.mean() * 1.02 + 1e-3
+
+
+@pytest.mark.slow
+class TestFleetMapping:
+    """Lockstep dp-fleet variant: two robots advance as one sharded XLA
+    program per frame, harvesting into the same shared graph."""
+
+    def test_two_robot_lockstep_session(self):
+        from visfs_tpu.io.sim import cached_textured_sequence
+        from visfs_tpu.slam.multi_robot import FleetMapping
+
+        n_frames, lap = 160, 80
+        seq = cached_textured_sequence(
+            n_frames=n_frames, width=256, height=192, motion="square",
+            seed=11, loops=2.0, room=(-3.0, 13.0, -6.0, 6.0),
+        )
+        cam = seq.camera
+        mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+        session = FleetMapping(
+            {"Tracker/MaxFeatures": 100, "Tracker/MinDistance": 14,
+             "Tracker/QualityLevel": 0.05, "Optimizer/Iterations": 10,
+             "Estimator/Force3DoF": True,
+             "LocalMap/MinParallax": 30.0, "LocalMap/MinTranslation": 0.5},
+            mesh,
+            start_poses=[np.eye(4, dtype=np.float32), seq.poses[lap]],
+            max_nodes=256, max_edges=1024, snapshot_kp=48,
+        )
+        session.init(float(cam.fx), float(cam.fy), float(cam.cx),
+                     float(cam.cy), float(cam.baseline), width=cam.width,
+                     height=cam.height)
+
+        lefts = np.asarray(seq.left, np.float32)
+        rights = np.asarray(seq.right, np.float32)
+        for k in range(lap):
+            session.step(
+                np.asarray([seq.stamps[k], seq.stamps[lap + k]]),
+                np.stack([lefts[k], lefts[lap + k]]),
+                np.stack([rights[k], rights[lap + k]]),
+            )
+        counts = session.keyframe_counts()
+        assert counts[0] >= 3 and counts[1] >= 3, counts
+
+        session.close_loops(radius=2.5, min_gap=8, min_inliers=10)
+        assert session.cross_robot_edges() >= 1
+        chi2 = session.optimize(iterations=8, cg_iters=40)
+        assert np.isfinite(chi2)
+        # both robots' chains live in one graph with sane world poses
+        pa = session.poses(robot=0)
+        pb = session.poses(robot=1)
+        assert len(pa) == counts[0] and len(pb) == counts[1]
+        assert np.isfinite(pa).all() and np.isfinite(pb).all()

@@ -218,8 +218,12 @@ class MappingBackend:
         return False
 
     def add_keyframe(self, pose, stamp, snapshot=None, robot: int = 0):
+        """Insert a keyframe; returns its node id, or None when the graph
+        is at node capacity (the insert is then a no-op)."""
         node_id = int(self.graph.n_nodes)
-        if snapshot is not None and node_id < self.graph.pose_q.shape[0]:
+        if node_id >= self.graph.pose_q.shape[0]:
+            return None
+        if snapshot is not None:
             # Bounded by the graph's node capacity — no phantom ids, no
             # unbounded device-memory growth on long runs.
             self.snapshots[node_id] = snapshot
@@ -228,8 +232,8 @@ class MappingBackend:
                                   jnp.float32(stamp), self.odom_info,
                                   robot=jnp.int32(robot),
                                   prev_node=jnp.int32(prev))
-        if node_id < self.graph.pose_q.shape[0]:
-            self._last_node[int(robot)] = node_id
+        self._last_node[int(robot)] = node_id
+        return node_id
 
     def add_loop_closure(self, i: int, j: int, rel, info: float = 1e4):
         self.graph = add_loop_closure(
