@@ -182,3 +182,45 @@ class TestForce3DoF:
         outs, est = run_vo(seq, extra={"Estimator/Force3DoF": True})
         # z, roll, pitch forced to zero
         assert np.abs(est[:, 2, 3]).max() < 1e-6
+
+
+class TestLostRecovery:
+    """Engine-level pin of the round-5 recovery fix: a lost (non-inserted)
+    frame's re-detections must slide into the previous-frame column, so
+    tracking resumes immediately and table slots don't leak.  (The old
+    no-op slide parked them in the current column: every frame re-detected,
+    matched nothing, and leaked slots to famine.)"""
+
+    def test_recovers_after_blank_frames(self):
+        import jax.numpy as jnp
+
+        from visfs_tpu.io.sim import generate_sequence
+        from visfs_tpu.slam.system import System
+
+        seq = generate_sequence(n_frames=8, width=160, height=120,
+                                n_points=150, seed=5)
+        cam = seq.camera
+        s = System({"Tracker/MaxFeatures": 60, "Tracker/MinDistance": 10,
+                    "Optimizer/Iterations": 4})
+        s.init(float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+               float(cam.baseline), width=cam.width, height=cam.height)
+        zero = np.zeros((120, 160), np.float32)
+        # two featureless frames: bootstrap-insert + track-lost
+        s.input_primary_sensor_data(-2.0, zero, zero)
+        s.input_primary_sensor_data(-1.5, zero, zero)
+        s.drain_outputs()
+        outs = []
+        for i in range(8):
+            s.input_primary_sensor_data(
+                float(seq.stamps[i]),
+                jnp.asarray(seq.left[i], jnp.float32),
+                jnp.asarray(seq.right[i], jnp.float32))
+            outs.extend(s.drain_outputs())
+        # first real frame re-bootstraps (lost), everything after tracks
+        assert bool(outs[0].lost)
+        assert all(not bool(o.lost) for o in outs[1:]), [
+            int(o.lost) for o in outs]
+        assert all(int(o.n_matches) >= 15 for o in outs[1:])
+        # no slot leak: table stays near the live population
+        n_valid = int(np.asarray(s.state.features.valid).sum())
+        assert n_valid <= 2 * 60, n_valid
