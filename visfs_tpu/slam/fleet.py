@@ -183,12 +183,14 @@ class FleetSystem:
             eps=self.cfg.tracker_flow_eps,
             compute_dtype=self.cfg.tracker_flow_compute_dtype,
             unroll=self.cfg.tracker_flow_unroll,
-            # Batched streams amortize the gather latency floor; the
-            # one-hot contraction's FLOPs scale linearly with B (measured
-            # in tools/fleet_prof notes — track stage 10.6 -> 75 ms at
-            # B=8 under "matmul").
+            # Rounds 3-4 auto-picked "gather" here (the one-hot
+            # contraction's FLOPs scaled linearly with B and dominated).
+            # The round-5 live-track compaction shrank the contraction
+            # shapes enough to flip it: B=8 VGA measures 117 fps aggregate
+            # under "matmul" vs 100 under "gather", so auto now matches
+            # the single-stream choice.
             region_extract=(
-                "gather" if self.cfg.tracker_flow_region_extract == "auto"
+                "matmul" if self.cfg.tracker_flow_region_extract == "auto"
                 else self.cfg.tracker_flow_region_extract),
         )
         self._cfg_hash = build_cfg_hash(self.cfg)
